@@ -1,0 +1,34 @@
+"""Test environment: CPU backend with 8 virtual devices.
+
+Mirrors the reference's strategy of validating every accelerated tier against
+serial baselines under emulation (QEMU sweeps, reference
+``CONTRIBUTING.md:218-244``): here the Pallas interpreter plays the SIMD-tier
+role and an 8-device virtual CPU mesh plays the multi-chip role.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    seed = int(os.environ.get("SZ_TESTS_SEED", "42"))
+    return np.random.default_rng(seed)
+
+
+def pytest_report_header(config):
+    import jax
+
+    from stringzilla_tpu.utils import platform
+
+    return [
+        f"jax {jax.__version__} backend={jax.default_backend()} devices={jax.device_count()}",
+        f"stringzilla_tpu capabilities: {platform.capabilities()}",
+    ]
