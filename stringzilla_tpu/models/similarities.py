@@ -1,0 +1,268 @@
+"""Batch similarity engines — the public API mirroring ``szs.*``.
+
+Engine classes correspond one-to-one to the reference's Python binding types
+(``python/stringzillas.c:96-101``): ``LevenshteinDistances``,
+``LevenshteinDistancesUTF8``, ``NeedlemanWunsch``, ``SmithWaterman``. Call
+convention matches ``LevenshteinDistances_vectorcall`` (reference
+``python/stringzillas.c:581-700``):
+
+    engine(queries, candidates=None, device=None, out=None) -> np.ndarray
+
+``candidates=None`` computes symmetric self-similarity. Distances return
+``uint64`` (C ABI ``sz_size_t*``, reference ``stringzillas.h:199``), scores
+return ``int64`` (``sz_ssize_t*``, ``stringzillas.h:358``).
+
+Host-side scheduling: inputs are grouped into dyadic length buckets (the
+reference's ``candidate_length_bucket_`` trick, ``serial.hpp:3442-3444``) so
+every device kernel sees a static shape with <2x padding waste; each
+(query-bucket x candidate-bucket) tile is scored by the lane-packed Pallas DP
+and scattered into the result matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.similarity import (
+    AffineGaps,
+    ClassCosts,
+    LinearGaps,
+    SimilarityConfig,
+    UniformCosts,
+)
+from ..ops.similarity_pallas import pick_lane_block, similarity_pallas
+from ..ops.tape import Tape, round_up
+from ..parallel.cross import sharded_similarity
+from .device_scope import DeviceScope, default_device_scope
+
+__all__ = [
+    "LevenshteinDistances",
+    "LevenshteinDistancesUTF8",
+    "NeedlemanWunschScores",
+    "SmithWatermanScores",
+    "NeedlemanWunsch",
+    "SmithWaterman",
+]
+
+_QUERY_PAD = 8  # query-count granularity bounding jit specializations
+
+
+def _decode_utf8_runes(data: bytes) -> np.ndarray:
+    """Decode to 32-bit runes; invalid bytes become U+FFFD (the reference's
+    maximal-subpart resync, ``README.md:888-893``)."""
+    return np.array([ord(c) for c in data.decode("utf-8", errors="replace")], dtype=np.int32)
+
+
+def _as_int_arrays(items, utf8: bool) -> list[np.ndarray]:
+    if isinstance(items, Tape):
+        items = items.to_list()
+    out = []
+    for s in items:
+        if isinstance(s, str):
+            s = s.encode("utf-8")
+        elif isinstance(s, (bytearray, memoryview)):
+            s = bytes(s)
+        if isinstance(s, np.ndarray):
+            out.append(s.astype(np.int32))
+        elif utf8:
+            out.append(_decode_utf8_runes(s))
+        else:
+            out.append(np.frombuffer(s, dtype=np.uint8).astype(np.int32))
+    return out
+
+
+def _dyadic(n: int, minimum: int = 8) -> int:
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def _group_dyadic(lengths: np.ndarray) -> dict[int, np.ndarray]:
+    sizes = np.array([_dyadic(n) for n in lengths], dtype=np.int64)
+    return {int(b): np.nonzero(sizes == b)[0] for b in np.unique(sizes)}
+
+
+def _pack_candidates(arrs, idx, length, count_multiple):
+    count = round_up(len(idx), count_multiple)
+    block = np.zeros((length, count), dtype=np.int32)
+    lens = np.zeros((1, count), dtype=np.int32)
+    for lane, i in enumerate(idx):
+        a = arrs[i]
+        block[: len(a), lane] = a
+        lens[0, lane] = len(a)
+    return block, lens
+
+
+def _pack_queries(arrs, idx, rows):
+    count = round_up(max(len(idx), 1), _QUERY_PAD)
+    q_ext_t = np.zeros((rows, count), dtype=np.int32)
+    qlens = np.zeros((count, 1), dtype=np.int32)
+    for col, i in enumerate(idx):
+        a = arrs[i]
+        q_ext_t[1 : 1 + len(a), col] = a
+        qlens[col, 0] = len(a)
+    return q_ext_t, qlens
+
+
+class _CrossProductEngine:
+    """Shared host driver for all-pairs DP scoring."""
+
+    result_dtype = np.int64
+    _utf8 = False
+
+    def __init__(self, cfg: SimilarityConfig):
+        self._cfg = cfg
+        self._table = (
+            jnp.asarray(cfg.costs.table_np()) if cfg.uses_classes else None
+        )
+        self._b2c = cfg.costs.byte_to_class_np() if cfg.uses_classes else None
+
+    @property
+    def config(self) -> SimilarityConfig:
+        return self._cfg
+
+    def __call__(self, queries, candidates=None, device: DeviceScope | None = None,
+                 out: np.ndarray | None = None) -> np.ndarray:
+        scope = device or default_device_scope()
+        q_arrs = _as_int_arrays(queries, self._utf8)
+        c_arrs = q_arrs if candidates is None else _as_int_arrays(candidates, self._utf8)
+        if self._b2c is not None:
+            q_arrs = [self._b2c[a].astype(np.int32) for a in q_arrs]
+            c_arrs = q_arrs if candidates is None else [self._b2c[a].astype(np.int32) for a in c_arrs]
+
+        nq, nc = len(q_arrs), len(c_arrs)
+        if out is None:
+            out = np.zeros((nq, nc), dtype=self.result_dtype)
+        elif out.shape != (nq, nc):
+            raise ValueError(f"out must have shape {(nq, nc)}, got {out.shape}")
+        if nq == 0 or nc == 0:
+            return out
+
+        q_lens = np.array([len(a) for a in q_arrs])
+        c_lens = np.array([len(a) for a in c_arrs])
+        ndev = scope.device_count
+
+        for c_bucket, c_idx in _group_dyadic(c_lens).items():
+            rows_hint = _dyadic(int(q_lens.max())) + 8
+            lane_block = pick_lane_block(rows_hint, c_bucket)
+            count_multiple = lane_block * ndev
+            block, lens = _pack_candidates(c_arrs, c_idx, c_bucket, count_multiple)
+            block_j, lens_j = jnp.asarray(block), jnp.asarray(lens)
+            for q_bucket, q_idx in _group_dyadic(q_lens).items():
+                rows = round_up(q_bucket + 1, 8)
+                q_ext_t, qlens = _pack_queries(q_arrs, q_idx, rows)
+                if ndev > 1:
+                    res = sharded_similarity(
+                        jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                        self._cfg, scope.mesh, table=self._table,
+                        lane_block=lane_block,
+                    )
+                else:
+                    res = similarity_pallas(
+                        jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                        self._cfg, table=self._table, lane_block=lane_block,
+                    )
+                res = np.asarray(res)[: len(q_idx), : len(c_idx)]
+                out[np.ix_(q_idx, c_idx)] = res.astype(self.result_dtype)
+        return out
+
+
+def _gaps_from(open: int, extend: int):
+    # The reference linearizes affine gaps when open == extend
+    # (``levenshtein_distance`` dispatch, serial.hpp:2620-2720).
+    return LinearGaps(open) if open == extend else AffineGaps(open, extend)
+
+
+class LevenshteinDistances(_CrossProductEngine):
+    """Batched byte-level edit distances (reference engine
+    ``szs::levenshtein_distances``, ``serial.hpp:3709-3760``; Python type
+    ``python/stringzillas.c:388-470``)."""
+
+    result_dtype = np.uint64
+
+    def __init__(self, match: int = 0, mismatch: int = 1, open: int = 1,
+                 extend: int = 1, capabilities=None):
+        for name, v in (("match", match), ("mismatch", mismatch), ("open", open), ("extend", extend)):
+            if not (-128 <= v <= 127):
+                raise ValueError(f"{name} cost must fit in 8-bit signed integer")
+        del capabilities  # accepted for API parity; dispatch is automatic
+        super().__init__(
+            SimilarityConfig("min", "global", _gaps_from(open, extend),
+                             UniformCosts(match, mismatch))
+        )
+
+
+class LevenshteinDistancesUTF8(LevenshteinDistances):
+    """Edit distances over Unicode codepoints rather than bytes (reference
+    ``levenshtein_distance_utf8``, ``serial.hpp:2800``)."""
+
+    _utf8 = True
+
+
+class _ScoreEngine(_CrossProductEngine):
+    result_dtype = np.int64
+    _locality = "global"
+
+    def __init__(self, byte_to_class=None, class_substitution_costs=None,
+                 open: int = -1, extend: int = -1, capabilities=None,
+                 substitution_matrix=None):
+        """Signature and defaults mirror the reference binding
+        (``python/stringzillas.c:1236-1250``): positional
+        ``(byte_to_class, class_substitution_costs, open=-1, extend=-1)``.
+        ``substitution_matrix`` additionally accepts a dense 256x256 (or 32x32)
+        matrix and compresses it to the class form."""
+        del capabilities  # accepted for API parity; dispatch is automatic
+        if substitution_matrix is not None:
+            m = np.asarray(substitution_matrix)
+            if m.shape == (256, 256):
+                byte_to_class, class_substitution_costs = _compress_256(m)
+            elif m.shape == (32, 32):
+                byte_to_class = np.arange(256, dtype=np.uint8) % 32
+                class_substitution_costs = m
+            else:
+                raise ValueError("substitution_matrix must be 256x256 or 32x32")
+        if byte_to_class is None or class_substitution_costs is None:
+            raise ValueError("provide byte_to_class + class_substitution_costs or substitution_matrix")
+        costs = ClassCosts.from_arrays(byte_to_class, class_substitution_costs)
+        super().__init__(
+            SimilarityConfig("max", self._locality, _gaps_from(open, extend), costs)
+        )
+
+
+def _compress_256(matrix: np.ndarray):
+    """Compress a 256x256 cost matrix into class-map + 32x32 table when it has
+    <= 32 distinct rows (the reference requires callers to supply the compact
+    form; we accept the dense one for convenience)."""
+    rows, inverse = np.unique(matrix, axis=0, return_inverse=True)
+    if len(rows) > 32:
+        raise ValueError("substitution matrix has more than 32 distinct byte classes")
+    byte_to_class = inverse.astype(np.uint8)
+    table = np.zeros((32, 32), dtype=np.int32)
+    reps = [np.nonzero(inverse == k)[0][0] for k in range(len(rows))]
+    for a, ra in enumerate(reps):
+        for b, rb in enumerate(reps):
+            table[a, b] = matrix[ra, rb]
+    return byte_to_class, table
+
+
+class NeedlemanWunschScores(_ScoreEngine):
+    """Global alignment scores (reference ``needleman_wunsch_scores``,
+    ``serial.hpp:3771+``; Python type ``stringzillas.NeedlemanWunschScores``,
+    ``python/stringzillas.c:1612``)."""
+
+    _locality = "global"
+
+
+class SmithWatermanScores(_ScoreEngine):
+    """Local alignment scores (reference ``smith_waterman_scores``,
+    ``serial.hpp:3123``; Python type ``stringzillas.SmithWatermanScores``,
+    ``python/stringzillas.c:2037``)."""
+
+    _locality = "local"
+
+
+# Convenience aliases
+NeedlemanWunsch = NeedlemanWunschScores
+SmithWaterman = SmithWatermanScores

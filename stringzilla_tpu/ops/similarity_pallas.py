@@ -61,9 +61,9 @@ def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):
         qext_ref, qlen_ref, cands_ref, clens_ref, out_ref = refs
         table_ref = None
 
-    q_ext = qext_ref[...]  # (rows, 1) int32
+    q_ext = qext_ref[0]  # block (1, rows, 1) → (rows, 1) int32
     clens = clens_ref[...]  # (1, lanes) int32
-    qlen = qlen_ref[0, 0]
+    qlen = qlen_ref[0, 0, 0]
     lanes = clens.shape[1]
     rows = q_ext.shape[0]
 
@@ -80,7 +80,7 @@ def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):
         return (state, best)
 
     state, best = jax.lax.fori_loop(1, cand_len + 1, body, (state0, best0))
-    out_ref[...] = extract_result(state[0], qlen, clens, cfg, best)
+    out_ref[0] = extract_result(state[0], qlen, clens, cfg, best)
 
 
 @functools.lru_cache(maxsize=256)
@@ -89,10 +89,10 @@ def _build_call(cfg: SimilarityConfig, rows: int, cand_len: int, n_queries: int,
     grid = (n_queries, n_cands // lane_block)
 
     in_specs = [
-        # q_ext stored transposed (rows, n_queries) so each program reads a
-        # contiguous (rows, 1) column without relayout.
-        pl.BlockSpec((rows, 1), lambda qi, cb: (0, qi), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda qi, cb: (qi, 0), memory_space=pltpu.SMEM),
+        # Queries stored (n_queries, rows, 1): each program pulls one (rows, 1)
+        # column — the trailing dims satisfy Mosaic's (8, =array) tiling rule.
+        pl.BlockSpec((1, rows, 1), lambda qi, cb: (qi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda qi, cb: (qi, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((cand_len, lane_block), lambda qi, cb: (0, cb), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, lane_block), lambda qi, cb: (0, cb), memory_space=pltpu.VMEM),
     ]
@@ -109,15 +109,16 @@ def _build_call(cfg: SimilarityConfig, rows: int, cand_len: int, n_queries: int,
     kernel = functools.partial(_kernel_body, cfg, cand_len)
 
     def wrapped(*args):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, lane_block), lambda qi, cb: (qi, cb), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_queries, n_cands), jnp.int32),
+            out_specs=pl.BlockSpec((1, 1, lane_block), lambda qi, cb: (qi, 0, cb), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_queries, 1, n_cands), jnp.int32),
             cost_estimate=cost,
             interpret=interpret,
         )(*args)
+        return out.reshape(n_queries, n_cands)
 
     return jax.jit(wrapped)
 
@@ -141,7 +142,8 @@ def similarity_pallas(
         raise ValueError(f"n_cands {n_cands} not a multiple of lane_block {lane_block}")
     call = _build_call(cfg, rows, cand_len, n_queries, n_cands, lane_block,
                        platform.pallas_interpret())
-    args = [q_ext_t, qlens, cands_t, clens]
+    queries_3d = q_ext_t.T.reshape(n_queries, rows, 1)
+    args = [queries_3d, qlens.reshape(n_queries, 1, 1), cands_t, clens]
     if cfg.uses_classes:
         assert table is not None
         args.append(table)

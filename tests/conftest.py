@@ -8,7 +8,10 @@ role and an 8-device virtual CPU mesh plays the multi-chip role.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests (the session env may point at a TPU tunnel); opt back
+# into TPU-backed testing with SZ_TESTS_TPU=1.
+if not os.environ.get("SZ_TESTS_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,157 @@
+"""Engine-level tests: public API semantics, bucketing, symmetric mode,
+device-scope matrix (the reference's pattern, ``test/szs_helpers.py:11-45``)."""
+
+import numpy as np
+import pytest
+
+import stringzilla_tpu as szt
+
+from . import oracles
+
+
+@pytest.fixture(scope="module")
+def shapes_rng():
+    return np.random.default_rng(7)
+
+
+def ref_matrix(queries, cands, fn):
+    return np.array([[fn(q, c) for c in cands] for q in queries])
+
+
+def test_levenshtein_cross_product(shapes_rng):
+    engine = szt.LevenshteinDistances()
+    queries = oracles.random_strings(shapes_rng, 5, 0, 40, b"abcde")
+    cands = oracles.random_strings(shapes_rng, 9, 0, 70, b"abcde")
+    got = engine(queries, cands)
+    assert got.dtype == np.uint64
+    want = ref_matrix(queries, cands, oracles.levenshtein)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_levenshtein_symmetric(shapes_rng):
+    engine = szt.LevenshteinDistances()
+    seqs = oracles.random_strings(shapes_rng, 7, 0, 30, b"ab")
+    got = engine(seqs)
+    want = ref_matrix(seqs, seqs, oracles.levenshtein)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+    assert (got == got.T).all()
+
+
+def test_levenshtein_mixed_length_buckets(shapes_rng):
+    # Strings spanning multiple dyadic buckets in one call.
+    engine = szt.LevenshteinDistances()
+    queries = [b"", b"a" * 3, b"b" * 70, b"c" * 200]
+    cands = [b"x", b"a" * 64, b"b" * 65, b"c" * 199, b"" ]
+    got = engine(queries, cands)
+    want = ref_matrix(queries, cands, oracles.levenshtein)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_levenshtein_weighted_affine(shapes_rng):
+    engine = szt.LevenshteinDistances(match=0, mismatch=2, open=3, extend=1)
+    queries = oracles.random_strings(shapes_rng, 3, 0, 20, b"ab")
+    cands = oracles.random_strings(shapes_rng, 5, 0, 20, b"ab")
+    got = engine(queries, cands)
+    want = ref_matrix(
+        queries, cands,
+        lambda q, c: oracles.score_affine(q, c, lambda x, y: 0 if x == y else 2, 3, 1, "min", False),
+    )
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_levenshtein_utf8():
+    engine = szt.LevenshteinDistancesUTF8()
+    # é is 2 bytes but 1 codepoint; 👍 is 4 bytes 1 codepoint.
+    queries = ["café", "naïve", "👍👍"]
+    cands = ["cafe", "naive", "👍"]
+    got = engine(queries, cands)
+    byte_engine = szt.LevenshteinDistances()
+    got_bytes = byte_engine([q.encode() for q in queries], [c.encode() for c in cands])
+    assert got[0, 0] == 1  # é → e is one substitution in runes
+    assert got_bytes[0, 0] == 2  # but two bytes differ
+    assert got[2, 2] == 1  # one rune insertion
+    assert got[1, 1] == 1
+
+
+def _protein_costs():
+    b2c = np.zeros(256, dtype=np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        b2c[ch] = i
+    table = np.full((32, 32), -2, dtype=np.int64)
+    np.fill_diagonal(table, 3)
+    return b2c, table
+
+
+def test_nw_and_sw_engines(shapes_rng):
+    b2c, table = _protein_costs()
+    sub = lambda x, y: int(table[b2c[x], b2c[y]])
+    queries = oracles.random_strings(shapes_rng, 4, 1, 25, b"ACGT")
+    cands = oracles.random_strings(shapes_rng, 6, 1, 25, b"ACGT")
+
+    nw = szt.NeedlemanWunschScores(b2c, table, open=-4, extend=-1)
+    got = nw(queries, cands)
+    assert got.dtype == np.int64
+    want = ref_matrix(queries, cands,
+                      lambda q, c: oracles.score_affine(q, c, sub, -4, -1, "max", False))
+    np.testing.assert_array_equal(got, want)
+
+    sw = szt.SmithWatermanScores(b2c, table, open=-4, extend=-1)
+    got = sw(queries, cands)
+    want = ref_matrix(queries, cands,
+                      lambda q, c: oracles.score_affine(q, c, sub, -4, -1, "max", True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nw_linear_gaps(shapes_rng):
+    b2c, table = _protein_costs()
+    sub = lambda x, y: int(table[b2c[x], b2c[y]])
+    nw = szt.NeedlemanWunschScores(b2c, table, open=-3, extend=-3)
+    queries = oracles.random_strings(shapes_rng, 3, 0, 20, b"ACGT")
+    cands = oracles.random_strings(shapes_rng, 5, 0, 20, b"ACGT")
+    got = nw(queries, cands)
+    want = ref_matrix(queries, cands,
+                      lambda q, c: oracles.score_linear(q, c, sub, -3, "max", False))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_scope_matrix(shapes_rng):
+    """Every engine result must agree across device scopes — the reference's
+    DeviceScope x shapes sweep (``test/szs_helpers.py:11-45``)."""
+    import jax
+
+    queries = oracles.random_strings(shapes_rng, 3, 0, 30, b"abc")
+    cands = oracles.random_strings(shapes_rng, 400, 0, 30, b"abc")
+    engine = szt.LevenshteinDistances()
+    scopes = [szt.DeviceScope(), szt.DeviceScope(device_index=0)]
+    if jax.device_count() >= 2:
+        scopes.append(szt.DeviceScope(cpu_cores=2))
+    results = [engine(queries, cands, device=s) for s in scopes]
+    for r in results[1:]:
+        np.testing.assert_array_equal(results[0], r)
+    want = ref_matrix(queries, cands, oracles.levenshtein)
+    np.testing.assert_array_equal(results[0].astype(np.int64), want)
+
+
+def test_empty_inputs():
+    engine = szt.LevenshteinDistances()
+    assert engine([], []).shape == (0, 0)
+    assert engine([b"abc"], []).shape == (1, 0)
+    assert engine([], [b"abc"]).shape == (0, 1)
+
+
+def test_tape_input():
+    tape = szt.Tape.from_strings([b"hello", b"world"])
+    engine = szt.LevenshteinDistances()
+    got = engine(tape, tape)
+    want = ref_matrix([b"hello", b"world"], [b"hello", b"world"], oracles.levenshtein)
+    np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_out_parameter(shapes_rng):
+    engine = szt.LevenshteinDistances()
+    queries = [b"abc", b"def"]
+    cands = [b"abd", b"xyz", b"def"]
+    out = np.zeros((2, 3), dtype=np.uint64)
+    ret = engine(queries, cands, out=out)
+    assert ret is out
+    np.testing.assert_array_equal(out.astype(np.int64), ref_matrix(queries, cands, oracles.levenshtein))
