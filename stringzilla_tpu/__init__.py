@@ -14,6 +14,7 @@ Layout (mirrors the reference's two-tier split, ``README.md:368-376``):
 """
 
 from .models.device_scope import DeviceScope
+from .models.fingerprints import Fingerprints
 from .models.similarities import (
     LevenshteinDistances,
     LevenshteinDistancesUTF8,
@@ -34,6 +35,7 @@ def __capabilities__():
 
 __all__ = [
     "DeviceScope",
+    "Fingerprints",
     "LevenshteinDistances",
     "LevenshteinDistancesUTF8",
     "NeedlemanWunsch",

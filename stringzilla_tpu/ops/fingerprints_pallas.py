@@ -1,0 +1,237 @@
+"""Pallas TPU kernel for rolling MinHash fingerprints — exact 52-bit modular
+arithmetic in int32 lanes.
+
+TPUs have no f64 ALUs and no 64-bit integer lanes, but the reference's
+production hasher (``floating_rolling_hasher<f64>``, reference
+``fingerprints/serial.hpp:445-560``) only ever manipulates *integers* below
+2^52. We therefore re-express the state exactly in three 16-bit limbs held in
+int32 vector registers:
+
+* fused roll ``x = state*mult + fused_disc*old_term + new_term`` — limb
+  products stay < 2^27, carries propagate in-register;
+* Barrett reduction with an f32 quotient *estimate* followed by exact integer
+  correction: ``q ≈ floor(x * 1/m)`` can be off by ±1, so one conditional
+  ``+m`` and two conditional ``-m`` passes pin ``r = x mod m`` exactly —
+  bit-identical to the reference's f64 path (which asserts its own result
+  equals true ``fmod``, serial.hpp:552-560);
+* the running minimum is tracked lexicographically over the limb triple and
+  truncated to u32 on export (``serial.hpp:1284-1293``).
+
+Layout: dimensions (of one window width) go down the sublane axis, documents
+across the 128 lanes; each grid program owns one document block. The byte loop
+is a ``fori_loop`` whose every step is dense (dims x docs) VPU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import platform
+
+__all__ = ["fingerprint_width_group", "pack_limbs"]
+
+LIMB = 16
+MASK = (1 << LIMB) - 1
+SENTINEL_HI = 1 << 20  # valid top limbs are < 2^10
+
+
+def pack_limbs(values: np.ndarray) -> np.ndarray:
+    """int64 (G,) → (3, G) int32 base-2^16 limbs (lo, mid, hi)."""
+    v = np.asarray(values, dtype=np.int64)
+    return np.stack([
+        (v & MASK).astype(np.int32),
+        ((v >> LIMB) & MASK).astype(np.int32),
+        ((v >> (2 * LIMB)) & MASK).astype(np.int32),
+    ])
+
+
+def _barrett(p0, p1, p2, p3, m0, m1, m2, inv_m):
+    """Exact ``x mod m`` for x = ((p3*2^16 + p2)*2^16 + p1)*2^16 + p0 < 2^53,
+    m = (m2, m1, m0) in [2^41, 2^42). Returns limbs (r0, r1, r2)."""
+    xf = ((p3.astype(jnp.float32) * 65536.0 + p2.astype(jnp.float32)) * 65536.0
+          + p1.astype(jnp.float32)) * 65536.0 + p0.astype(jnp.float32)
+    q = jnp.floor(xf * inv_m).astype(jnp.int32)
+    q = jnp.maximum(q, 0)
+    r0 = p0 - q * m0
+    r1 = p1 - q * m1
+    r2 = p2 - q * m2
+    r3 = p3
+    # Borrow-propagate into canonical limbs + sign limb r3.
+    b0 = r0 >> LIMB
+    r0 = r0 & MASK
+    r1 = r1 + b0
+    b1 = r1 >> LIMB
+    r1 = r1 & MASK
+    r2 = r2 + b1
+    b2 = r2 >> LIMB
+    r2 = r2 & MASK
+    r3 = r3 + b2
+
+    def add_m(r0, r1, r2, r3, cond):
+        a0 = r0 + jnp.where(cond, m0, 0)
+        a1 = r1 + jnp.where(cond, m1, 0)
+        a2 = r2 + jnp.where(cond, m2, 0)
+        c0 = a0 >> LIMB
+        a0 &= MASK
+        a1 += c0
+        c1 = a1 >> LIMB
+        a1 &= MASK
+        a2 += c1
+        c2 = a2 >> LIMB
+        a2 &= MASK
+        return a0, a1, a2, r3 + c2 + jnp.where(cond, 0, 0)
+
+    def sub_m(r0, r1, r2, r3, cond):
+        s0 = r0 - jnp.where(cond, m0, 0)
+        s1 = r1 - jnp.where(cond, m1, 0)
+        s2 = r2 - jnp.where(cond, m2, 0)
+        b0 = s0 >> LIMB
+        s0 &= MASK
+        s1 += b0
+        b1 = s1 >> LIMB
+        s1 &= MASK
+        s2 += b1
+        b2 = s2 >> LIMB
+        s2 &= MASK
+        return s0, s1, s2, r3 + b2
+
+    # q overshoot → negative remainder: one +m pass suffices (|error| <= m).
+    r0, r1, r2, r3 = add_m(r0, r1, r2, r3, r3 < 0)
+    # q undershoot → r in [m, 2m): subtract while >= m (twice for safety).
+    for _ in range(2):
+        ge = (r3 > 0) | (r2 > m2) | ((r2 == m2) & ((r1 > m1) | ((r1 == m1) & (r0 >= m0))))
+        r0, r1, r2, r3 = sub_m(r0, r1, r2, r3, ge)
+    return r0, r1, r2
+
+
+def _kernel(width: int, doc_len: int, refs):
+    (docs_ref, lens_ref, mult_ref, m_ref, fd_ref, inv_ref, hash_ref, count_ref) = refs
+    dims = mult_ref.shape[0]
+    lanes = docs_ref.shape[1]
+
+    mult = mult_ref[...]  # (dims, 1)
+    m0, m1, m2 = m_ref[0], m_ref[1], m_ref[2]  # (dims, 1) each
+    f0, f1, f2 = fd_ref[0], fd_ref[1], fd_ref[2]
+    inv_m = inv_ref[...]  # (dims, 1) f32
+    lens = lens_ref[...]  # (1, lanes)
+
+    zeros = jnp.zeros((dims, lanes), jnp.int32)
+
+    def push_step(t, state):
+        s0, s1, s2 = state
+        term = docs_ref[pl.ds(t, 1), :] + 1  # (1, lanes)
+        p0 = s0 * mult + term
+        p1 = s1 * mult
+        p2 = s2 * mult
+        c0 = p0 >> LIMB
+        p0 &= MASK
+        p1 += c0
+        c1 = p1 >> LIMB
+        p1 &= MASK
+        p2 += c1
+        p3 = p2 >> LIMB
+        p2 &= MASK
+        return _barrett(p0, p1, p2, p3, m0, m1, m2, inv_m)
+
+    prefix = min(width, doc_len)
+    state = jax.lax.fori_loop(0, prefix, push_step, (zeros, zeros, zeros))
+    s0, s1, s2 = state
+
+    # First full window: record minimum & count where the doc is long enough.
+    live_w = lens >= width  # (1, lanes); s* are (dims, lanes) after the pushes
+    mn0 = jnp.where(live_w, s0, 0)
+    mn1 = jnp.where(live_w, s1, 0)
+    mn2 = jnp.where(live_w, s2, SENTINEL_HI)
+    count = jnp.where(live_w, jnp.int32(1), jnp.int32(0)) + zeros
+
+    def roll_step(t, carry):
+        s0, s1, s2, mn0, mn1, mn2, count = carry
+        new_term = docs_ref[pl.ds(t, 1), :] + 1
+        old_term = docs_ref[pl.ds(t - width, 1), :] + 1
+        p0 = s0 * mult + f0 * old_term + new_term
+        p1 = s1 * mult + f1 * old_term
+        p2 = s2 * mult + f2 * old_term
+        c0 = p0 >> LIMB
+        p0 &= MASK
+        p1 += c0
+        c1 = p1 >> LIMB
+        p1 &= MASK
+        p2 += c1
+        p3 = p2 >> LIMB
+        p2 &= MASK
+        s0, s1, s2 = _barrett(p0, p1, p2, p3, m0, m1, m2, inv_m)
+
+        upd = t < lens  # (1, lanes) → broadcast
+        lt = (s2 < mn2) | ((s2 == mn2) & ((s1 < mn1) | ((s1 == mn1) & (s0 < mn0))))
+        eq = (s2 == mn2) & (s1 == mn1) & (s0 == mn0)
+        count = jnp.where(upd & lt, 1, jnp.where(upd & eq, count + 1, count))
+        take = upd & lt
+        mn0 = jnp.where(take, s0, mn0)
+        mn1 = jnp.where(take, s1, mn1)
+        mn2 = jnp.where(take, s2, mn2)
+        return s0, s1, s2, mn0, mn1, mn2, count
+
+    if doc_len > width:
+        s0, s1, s2, mn0, mn1, mn2, count = jax.lax.fori_loop(
+            width, doc_len, roll_step, (s0, s1, s2, mn0, mn1, mn2, count)
+        )
+
+    skipped = mn2 >= SENTINEL_HI
+    hash32 = (mn1 << LIMB) | mn0  # low 32 bits of the 42-bit minimum
+    hash_ref[...] = jnp.where(skipped, jnp.int32(-1), hash32)
+    count_ref[...] = jnp.where(skipped, 0, count)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_call(width: int, doc_len: int, dims: int, n_docs: int, lane_block: int,
+                interpret: bool):
+    grid = (n_docs // lane_block,)
+    spec_docs = pl.BlockSpec((doc_len, lane_block), lambda d: (0, d), memory_space=pltpu.VMEM)
+    spec_lens = pl.BlockSpec((1, lane_block), lambda d: (0, d), memory_space=pltpu.VMEM)
+    spec_dim = pl.BlockSpec((dims, 1), lambda d: (0, 0), memory_space=pltpu.VMEM)
+    spec_limbs = pl.BlockSpec((3, dims, 1), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((dims, lane_block), lambda d: (0, d), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, width, doc_len)
+
+    def wrapped(*args):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=grid,
+            in_specs=[spec_docs, spec_lens, spec_dim, spec_limbs, spec_limbs, spec_dim],
+            out_specs=(spec_out, spec_out),
+            out_shape=(
+                jax.ShapeDtypeStruct((dims, n_docs), jnp.int32),
+                jax.ShapeDtypeStruct((dims, n_docs), jnp.int32),
+            ),
+            interpret=interpret,
+        )(*args)
+
+    return jax.jit(wrapped)
+
+
+def fingerprint_width_group(
+    docs_t: jnp.ndarray,  # (doc_len, n_docs) int32 — docs across lanes
+    lens: jnp.ndarray,  # (1, n_docs) int32
+    width: int,
+    mult: jnp.ndarray,  # (dims, 1) int32
+    m_limbs: jnp.ndarray,  # (3, dims, 1) int32
+    fd_limbs: jnp.ndarray,  # (3, dims, 1) int32
+    inv_m: jnp.ndarray,  # (dims, 1) float32
+    lane_block: int = 128,
+):
+    """MinHash + count-min for all dims sharing one window width.
+    Returns ``(min_hash int32 (dims, n_docs), counts int32 (dims, n_docs))``
+    where min_hash bit-patterns are the u32 hashes."""
+    doc_len, n_docs = docs_t.shape
+    dims = mult.shape[0]
+    lane_block = min(lane_block, n_docs)
+    call = _build_call(width, doc_len, dims, n_docs, lane_block,
+                       platform.pallas_interpret())
+    return call(docs_t, lens, mult, m_limbs, fd_limbs, inv_m)

@@ -50,8 +50,9 @@ def pick_lane_block(rows: int, cand_len: int, vmem_budget_bytes: int = 4 << 20) 
     """
     per_lane = 10 * rows * 4 + cand_len * 4
     lanes = vmem_budget_bytes // max(per_lane, 1)
-    lanes = max(128, min(1024, (lanes // 128) * 128))
-    return lanes
+    lanes = max(128, min(1024, lanes))
+    # Round down to a power of two so any 128-multiple candidate count divides.
+    return 1 << (lanes.bit_length() - 1)
 
 
 def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):

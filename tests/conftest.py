@@ -8,13 +8,18 @@ role and an 8-device virtual CPU mesh plays the multi-chip role.
 
 import os
 
-# Force CPU for tests (the session env may point at a TPU tunnel); opt back
-# into TPU-backed testing with SZ_TESTS_TPU=1.
-if not os.environ.get("SZ_TESTS_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU for tests (the session env points at a TPU tunnel whose
+# sitecustomize already imported jax and set jax_platforms, so plain env vars
+# are too late — update the live config instead). Opt back into TPU-backed
+# testing with SZ_TESTS_TPU=1.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("SZ_TESTS_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
