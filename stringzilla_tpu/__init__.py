@@ -14,6 +14,7 @@ Layout (mirrors the reference's two-tier split, ``README.md:368-376``):
 """
 
 from .models.device_scope import DeviceScope
+from .models.str_api import File, Str, Strs
 from .models.fingerprints import Fingerprints
 from .models.similarities import (
     LevenshteinDistances,
@@ -23,8 +24,20 @@ from .models.similarities import (
     SmithWaterman,
     SmithWatermanScores,
 )
+from .ops import find as _find
+from .ops.hash import Hasher, Sha256, bytesum, fill_random, hash_multiseed, hmac_sha256, sz_hash
+from .ops.sort import argsort_strings
 from .ops.tape import Tape
 from .utils import platform
+
+# Module-level function surface mirroring the reference binding
+# (``python/stringzilla.c:9531-9612``).
+find = _find.find
+rfind = _find.rfind
+count = _find.count
+find_byteset = _find.find_byteset
+rfind_byteset = _find.rfind_byteset
+hash = sz_hash  # noqa: A001 - intentional API parity with the reference
 
 __version__ = "0.1.0"
 
@@ -35,6 +48,22 @@ def __capabilities__():
 
 __all__ = [
     "DeviceScope",
+    "File",
+    "Str",
+    "Strs",
+    "Hasher",
+    "Sha256",
+    "argsort_strings",
+    "bytesum",
+    "count",
+    "fill_random",
+    "find",
+    "find_byteset",
+    "hash",
+    "hash_multiseed",
+    "hmac_sha256",
+    "rfind",
+    "rfind_byteset",
     "Fingerprints",
     "LevenshteinDistances",
     "LevenshteinDistancesUTF8",

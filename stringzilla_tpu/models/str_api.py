@@ -1,0 +1,477 @@
+"""``Str`` / ``Strs`` / ``File`` — the single-string public API.
+
+Mirrors the reference's Python binding surface (``python/stringzilla.c``:
+``Str`` zero-copy string, memory-mapped ``File``, ``Strs`` collection;
+module-level find/count/split/translate/hash functions,
+``python/stringzilla.c:9531-9612``), re-designed for a device-first runtime:
+
+* a ``Str`` owns one host buffer and lazily mirrors it to the TPU as a
+  ``(rows, 128)`` u8 array (the layout ``ops.find_pallas`` consumes);
+* search ops dispatch on size: big buffers run the streaming Pallas kernels
+  on-device (the role of the reference's AVX-512/SVE tiers), small ones run
+  on host (the "serial" tier) — the dispatch-registry analog of the
+  reference's ``sz_dispatch_table`` (``c/stringzilla/dispatch.h:34-109``);
+* ``split``/``splitlines`` return ``Strs`` views backed by (data, offsets)
+  tapes — zero copies of the underlying bytes, like the reference's
+  ``sz_string_view_t`` splits;
+* ``Strs.sort``/``order`` use the device argsort (``ops.sort``).
+
+Device dispatch threshold: ~1 MiB — below that, host↔device latency exceeds
+any kernel win.
+"""
+
+from __future__ import annotations
+
+import mmap as _mmap
+from typing import Iterable
+
+import numpy as np
+
+from ..ops import find as _find_ops
+from ..ops import hash as _hash_ops
+from ..ops.tape import Tape
+from ..utils import platform
+
+__all__ = ["Str", "Strs", "File"]
+
+_DEVICE_MIN_BYTES = 1 << 20
+
+
+def _to_bytes_like(data) -> np.ndarray:
+    """View input as a uint8 numpy array without copying when possible."""
+    if isinstance(data, Str):
+        return data._buf
+    if isinstance(data, str):
+        return np.frombuffer(data.encode("utf-8"), dtype=np.uint8)
+    if isinstance(data, (bytes, bytearray)):
+        return np.frombuffer(data, dtype=np.uint8)
+    if isinstance(data, (memoryview, _mmap.mmap)):
+        return np.frombuffer(data, dtype=np.uint8)
+    if isinstance(data, np.ndarray):
+        return data.view(np.uint8) if data.dtype != np.uint8 else data
+    raise TypeError(f"can't wrap {type(data)!r} as Str")
+
+
+def _needle_bytes(needle) -> bytes:
+    if isinstance(needle, Str):
+        return bytes(needle)
+    if isinstance(needle, str):
+        return needle.encode("utf-8")
+    return bytes(needle)
+
+
+class Str:
+    """Zero-copy byte string with device-accelerated search (reference type
+    ``Str``, ``python/stringzilla.c``; C++ ``sz::string_view``)."""
+
+    __slots__ = ("_buf", "_device_2d")
+
+    def __init__(self, data=b""):
+        self._buf = _to_bytes_like(data)
+        self._device_2d = None
+
+    # -- container protocol -------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self._buf.shape[0])
+
+    def __bytes__(self) -> bytes:
+        return self._buf.tobytes()
+
+    def __str__(self) -> str:
+        return self._buf.tobytes().decode("utf-8", errors="replace")
+
+    def __repr__(self) -> str:
+        head = bytes(self._buf[:40])
+        return f"Str({head!r}{'...' if len(self) > 40 else ''}, len={len(self)})"
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return Str(self._buf[key])  # numpy slice = zero-copy view
+        return int(self._buf[key])
+
+    def __eq__(self, other) -> bool:
+        try:
+            ob = _to_bytes_like(other if not isinstance(other, str) else other)
+        except TypeError:
+            return NotImplemented
+        if isinstance(other, str):
+            ob = np.frombuffer(other.encode(), dtype=np.uint8)
+        return self._buf.shape == ob.shape and bool((self._buf == ob).all())
+
+    def __lt__(self, other) -> bool:
+        return bytes(self) < _needle_bytes(other)
+
+    def __le__(self, other) -> bool:
+        return bytes(self) <= _needle_bytes(other)
+
+    def __hash__(self) -> int:
+        return self.hash()
+
+    def __contains__(self, needle) -> bool:
+        return self.find(needle) >= 0
+
+    # -- device mirror -------------------------------------------------------
+
+    def _device(self):
+        """Lazily build the padded (rows, 128) u8 device mirror."""
+        import jax.numpy as jnp
+
+        from ..ops.find_pallas import BLOCK_ROWS, LANES
+
+        if self._device_2d is None:
+            n = len(self)
+            block = BLOCK_ROWS * LANES
+            padded = max(-(-n // block), 1) * block
+            buf = np.zeros(padded, dtype=np.uint8)
+            buf[:n] = self._buf
+            self._device_2d = jnp.asarray(buf.reshape(-1, LANES))
+        return self._device_2d
+
+    def _use_device(self) -> bool:
+        return len(self) >= _DEVICE_MIN_BYTES and not platform.pallas_interpret()
+
+    # -- search --------------------------------------------------------------
+
+    def find(self, needle, start: int = 0, end: int | None = None) -> int:
+        """First occurrence (``sz_find``; Python ``Str.find``). Positions are
+        absolute, bounded to ``[start, end)`` like ``bytes.find``."""
+        nd = _needle_bytes(needle)
+        n = len(self)
+        end = n if end is None else min(end, n)
+        if start < 0 or end < 0:  # normalize negative bounds like Python
+            start, end, _ = slice(start, end).indices(n)
+        if self._use_device():
+            from ..ops.find_pallas import MAX_OFFSETS, find_long, search_positions
+
+            if len(nd) == 0:
+                return start if start <= end else -1
+            hi = end - len(nd)
+            if len(nd) <= MAX_OFFSETS:
+                return int(search_positions(
+                    self._device(), n, "first",
+                    needle=np.frombuffer(nd, dtype=np.uint8), lo=start, hi=hi))
+            # long needles: anomaly filter + exact verify
+            res = find_long(self._device(), n, np.frombuffer(nd, dtype=np.uint8))
+            return res if res >= start and res <= hi else bytes(self).find(nd, start, end)
+        return bytes(self).find(nd, start, end)
+
+    def rfind(self, needle, start: int = 0, end: int | None = None) -> int:
+        nd = _needle_bytes(needle)
+        n = len(self)
+        end = n if end is None else min(end, n)
+        if start < 0 or end < 0:
+            start, end, _ = slice(start, end).indices(n)
+        if self._use_device():
+            from ..ops.find_pallas import MAX_OFFSETS, find_long, search_positions
+
+            if len(nd) == 0:
+                return end
+            if len(nd) <= MAX_OFFSETS:
+                return int(search_positions(
+                    self._device(), n, "last",
+                    needle=np.frombuffer(nd, dtype=np.uint8),
+                    lo=start, hi=end - len(nd)))
+            res = find_long(self._device(), n, np.frombuffer(nd, dtype=np.uint8),
+                            reverse=True)
+            return res if start <= res <= end - len(nd) else bytes(self).rfind(nd, start, end)
+        return bytes(self).rfind(nd, start, end)
+
+    def index(self, needle) -> int:
+        r = self.find(needle)
+        if r < 0:
+            raise ValueError("substring not found")
+        return r
+
+    def rindex(self, needle) -> int:
+        r = self.rfind(needle)
+        if r < 0:
+            raise ValueError("substring not found")
+        return r
+
+    def count(self, needle, allowoverlap: bool = False) -> int:
+        """Occurrence count; ``allowoverlap`` extends Python semantics the way
+        the reference binding does (``Str.count(needle, allowoverlap=True)``)."""
+        nd = _needle_bytes(needle)
+        n = len(self)
+        if len(nd) == 0:
+            return n + 1
+        if self._use_device() and len(nd) <= 16 and allowoverlap:
+            from ..ops.find_pallas import search_positions
+
+            return int(search_positions(self._device(), n, "count",
+                                        needle=np.frombuffer(nd, dtype=np.uint8)))
+        if allowoverlap:
+            return _find_ops.count(bytes(self), nd, allowoverlap=True)
+        return bytes(self).count(nd)
+
+    def startswith(self, prefix) -> bool:
+        return bytes(self).startswith(_needle_bytes(prefix))
+
+    def endswith(self, suffix) -> bool:
+        return bytes(self).endswith(_needle_bytes(suffix))
+
+    # -- byteset search (``sz_find_byteset`` family, find.h:272-290) ---------
+
+    def find_first_of(self, charset) -> int:
+        return self._byteset_search(charset, "first", invert=False)
+
+    def find_last_of(self, charset) -> int:
+        return self._byteset_search(charset, "last", invert=False)
+
+    def find_first_not_of(self, charset) -> int:
+        return self._byteset_search(charset, "first", invert=True)
+
+    def find_last_not_of(self, charset) -> int:
+        return self._byteset_search(charset, "last", invert=True)
+
+    def _byteset_search(self, charset, mode: str, invert: bool) -> int:
+        words = _find_ops.byteset_mask(_needle_bytes(charset))
+        if invert:
+            words = ~words
+        if self._use_device():
+            from ..ops.find_pallas import search_positions
+
+            return int(search_positions(self._device(), len(self), mode,
+                                        byteset_words=words))
+        lut = np.zeros(256, dtype=bool)
+        for w in range(8):
+            for b in range(32):
+                lut[w * 32 + b] = bool((int(words[w]) >> b) & 1)
+        hits = lut[self._buf]
+        idx = np.nonzero(hits)[0]
+        if idx.size == 0:
+            return -1
+        return int(idx[0] if mode == "first" else idx[-1])
+
+    # -- splitting (zero-copy ``Strs`` views) --------------------------------
+
+    def split(self, separator=b" ", maxsplit: int = -1, keepseparator: bool = False) -> "Strs":
+        """Split on an exact separator (binding ``Str.split``,
+        ``python/stringzilla.c``). Returns zero-copy views."""
+        sep = _needle_bytes(separator)
+        data = bytes(self)
+        parts = data.split(sep) if maxsplit < 0 else data.split(sep, maxsplit)
+        pos = 0
+        bounds = []
+        for i, p in enumerate(parts):
+            startp = pos
+            endp = pos + len(p)
+            if keepseparator and i < len(parts) - 1:
+                endp += len(sep)
+            bounds.append((startp, endp))
+            pos += len(p) + len(sep)
+        return Strs._from_views(self, bounds)
+
+    def rsplit(self, separator=b" ", maxsplit: int = -1, keepseparator: bool = False) -> "Strs":
+        sep = _needle_bytes(separator)
+        data = bytes(self)
+        parts = data.rsplit(sep) if maxsplit < 0 else data.rsplit(sep, maxsplit)
+        bounds = []
+        pos = 0
+        for i, p in enumerate(parts):
+            startp = pos
+            endp = pos + len(p)
+            if keepseparator and i < len(parts) - 1:
+                endp += len(sep)
+            bounds.append((startp, endp))
+            pos += len(p) + len(sep)
+        return Strs._from_views(self, bounds)
+
+    def split_byteset(self, charset, maxsplit: int = -1) -> "Strs":
+        """Split on ANY byte of the set (binding ``Str.split_byteset``)."""
+        lut = np.zeros(256, dtype=bool)
+        for b in _needle_bytes(charset):
+            lut[b] = True
+        hits = np.nonzero(lut[self._buf])[0]
+        if maxsplit >= 0:
+            hits = hits[:maxsplit]
+        bounds = []
+        start = 0
+        for h in hits:
+            bounds.append((start, int(h)))
+            start = int(h) + 1
+        bounds.append((start, len(self)))
+        return Strs._from_views(self, bounds)
+
+    def splitlines(self, keeplinebreaks: bool = False) -> "Strs":
+        data = bytes(self)
+        parts = data.splitlines(True)
+        bounds = []
+        pos = 0
+        for p in parts:
+            stripped = p.splitlines()[0] if p else p
+            endp = pos + (len(p) if keeplinebreaks else len(stripped))
+            bounds.append((pos, endp))
+            pos += len(p)
+        return Strs._from_views(self, bounds)
+
+    def partition(self, separator):
+        sep = _needle_bytes(separator)
+        i = self.find(sep)
+        if i < 0:
+            return (self, Str(b""), Str(b""))
+        return (self[:i], Str(sep), self[i + len(sep):])
+
+    def rpartition(self, separator):
+        sep = _needle_bytes(separator)
+        i = self.rfind(sep)
+        if i < 0:
+            return (Str(b""), Str(b""), self)
+        return (self[:i], Str(sep), self[i + len(sep):])
+
+    # -- transforms & hashes --------------------------------------------------
+
+    def translate(self, table) -> "Str":
+        """256-byte LUT transform (``sz_lookup``, reference ``memory.h:153``;
+        binding ``Str.translate``). Device path for big buffers."""
+        lut = np.frombuffer(_needle_bytes(table), dtype=np.uint8)
+        if lut.shape[0] != 256:
+            raise ValueError("translate table must be exactly 256 bytes")
+        if self._use_device():
+            from ..ops.memory_pallas import lookup_transform
+
+            out = lookup_transform(self._device(), len(self), lut)
+            return Str(np.asarray(out).reshape(-1)[: len(self)])
+        return Str(lut[self._buf])
+
+    def hash(self, seed: int = 0) -> int:
+        """Seeded 64-bit StringZilla hash, bit-identical to the reference."""
+        return _hash_ops.sz_hash(bytes(self), seed)
+
+    def bytesum(self) -> int:
+        return _hash_ops.bytesum(bytes(self))
+
+    def sha256(self) -> bytes:
+        return _hash_ops.Sha256(bytes(self)).digest()
+
+    # -- order ----------------------------------------------------------------
+
+    def order(self, other) -> int:
+        """3-way lexicographic compare (``sz_order``, reference
+        ``compare.h:88``): -1 / 0 / +1."""
+        a, b = bytes(self), _needle_bytes(other)
+        return -1 if a < b else (0 if a == b else 1)
+
+
+class Strs:
+    """A collection of ``Str`` views (reference type ``Strs``,
+    ``python/stringzilla.c``) backed by a tape: parent buffer + bounds."""
+
+    __slots__ = ("_parent", "_starts", "_ends")
+
+    def __init__(self, items: Iterable | None = None):
+        if items is None:
+            buf = np.zeros(0, dtype=np.uint8)
+            self._parent = Str(buf)
+            self._starts = np.zeros(0, dtype=np.int64)
+            self._ends = np.zeros(0, dtype=np.int64)
+            return
+        tape = items if isinstance(items, Tape) else Tape.from_strings(list(items))
+        self._parent = Str(np.asarray(tape.data))
+        self._starts = np.asarray(tape.offsets[:-1], dtype=np.int64)
+        self._ends = np.asarray(tape.offsets[1:], dtype=np.int64)
+
+    @classmethod
+    def _from_views(cls, parent: Str, bounds) -> "Strs":
+        out = cls.__new__(cls)
+        out._parent = parent
+        if bounds:
+            arr = np.asarray(bounds, dtype=np.int64)
+            out._starts, out._ends = arr[:, 0], arr[:, 1]
+        else:
+            out._starts = np.zeros(0, dtype=np.int64)
+            out._ends = np.zeros(0, dtype=np.int64)
+        return out
+
+    def __len__(self) -> int:
+        return int(self._starts.shape[0])
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            idx = np.arange(len(self))[i]
+            return self._take(idx)
+        if i < 0:
+            i += len(self)
+        return self._parent[int(self._starts[i]) : int(self._ends[i])]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other) -> bool:
+        try:
+            if len(self) != len(other):
+                return False
+        except TypeError:
+            return NotImplemented
+        return all(bytes(a) == _needle_bytes(b) for a, b in zip(self, other))
+
+    def _take(self, idx: np.ndarray) -> "Strs":
+        out = Strs.__new__(Strs)
+        out._parent = self._parent
+        out._starts = self._starts[idx]
+        out._ends = self._ends[idx]
+        return out
+
+    def to_list(self) -> list[bytes]:
+        return [bytes(s) for s in self]
+
+    def to_tape(self) -> Tape:
+        return Tape.from_strings(self.to_list())
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return (self._ends - self._starts).astype(np.int64)
+
+    def order(self, reverse: bool = False) -> np.ndarray:
+        """Stable argsort permutation (``sz_sequence_argsort``, reference
+        ``sort.h:87``; binding ``Strs.order``)."""
+        from ..ops.sort import argsort_strings
+
+        return argsort_strings(self.to_list(), reverse=reverse)
+
+    def sort(self, reverse: bool = False) -> "Strs":
+        """Sorted copy of the collection (binding ``Strs.sort``)."""
+        return self._take(self.order(reverse=reverse))
+
+    def sample(self, count: int, seed: int | None = None) -> "Strs":
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, len(self), size=count)
+        return self._take(idx)
+
+    def shuffle(self, seed: int | None = None) -> "Strs":
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(self))
+        return self._take(idx)
+
+
+class File(Str):
+    """Memory-mapped read-only file (reference type ``File``,
+    ``python/stringzilla.c``): zero-copy `Str` over the page cache."""
+
+    __slots__ = ("_mmap", "_file")
+
+    def __init__(self, path: str):
+        f = open(path, "rb")
+        try:
+            mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        except ValueError:  # empty file can't be mmapped
+            f.close()
+            super().__init__(b"")
+            self._mmap = None
+            self._file = None
+            return
+        self._file = f
+        self._mmap = mm
+        super().__init__(np.frombuffer(mm, dtype=np.uint8))
+
+    def close(self):
+        if self._mmap is not None:
+            # Drop the numpy view first — mmap refuses to close while
+            # exported buffer pointers exist.
+            self._buf = np.zeros(0, dtype=np.uint8)
+            self._device_2d = None
+            self._mmap.close()
+            self._file.close()
+            self._mmap = None

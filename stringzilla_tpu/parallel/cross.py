@@ -14,7 +14,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.similarity import SimilarityConfig
 from ..ops.similarity_pallas import similarity_pallas

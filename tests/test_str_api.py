@@ -1,0 +1,105 @@
+"""Str / Strs / File binding-surface tests, mirroring the reference's Python
+suite structure (reference ``test/test_stringzilla.py``) with Python built-ins
+as the oracle."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from stringzilla_tpu.models.str_api import File, Str, Strs
+from stringzilla_tpu.ops.sort import argsort_strings
+
+
+def test_str_basics():
+    s = Str("hello world, hello TPU")
+    assert len(s) == 22
+    assert bytes(s[0:5]) == b"hello"
+    assert s[1] == ord("e")
+    assert s == Str(b"hello world, hello TPU")
+    assert Str(b"abc") < Str(b"abd")
+    assert Str(b"abc").order(b"abd") == -1
+    assert Str(b"abc").order(b"abc") == 0
+
+
+def test_str_find_family():
+    s = Str("hello world, hello TPU")
+    data = bytes(s)
+    assert s.find("hello") == 0
+    assert s.rfind("hello") == 13
+    assert s.find("hello", 1) == data.find(b"hello", 1)
+    assert s.find("zzz") == -1
+    assert "world" in s and "mars" not in s
+    assert s.count("hello") == 2
+    assert s.count("l") == data.count(b"l")
+    assert Str(b"aaaa").count(b"aa", allowoverlap=True) == 3
+    assert s.startswith("hello") and s.endswith("TPU")
+    with pytest.raises(ValueError):
+        s.index("zzz")
+
+
+def test_str_byteset_family():
+    s = Str("hello world")
+    assert s.find_first_of(b" owd") == 4
+    assert s.find_last_of(b"lo") == 9
+    assert s.find_first_not_of(b"hel") == 4
+    assert s.find_last_not_of(b"ld") == 8
+
+
+def test_str_split_family():
+    s = Str("a,b,,c")
+    assert s.split(",").to_list() == [b"a", b"b", b"", b"c"]
+    assert s.split(",", maxsplit=1).to_list() == [b"a", b"b,,c"]
+    assert s.rsplit(",", maxsplit=1).to_list() == [b"a,b,", b"c"]
+    assert Str("x y\tz").split_byteset(b" \t").to_list() == [b"x", b"y", b"z"]
+    assert Str(b"a\nbb\r\nccc").splitlines().to_list() == [b"a", b"bb", b"ccc"]
+    assert Str(b"a\nbb").splitlines(keeplinebreaks=True).to_list() == [b"a\n", b"bb"]
+    left, sep, right = Str("k=v").partition("=")
+    assert (bytes(left), bytes(sep), bytes(right)) == (b"k", b"=", b"v")
+
+
+def test_str_transforms():
+    lut = bytes(range(256)).upper()
+    assert bytes(Str(b"abc, xyz").translate(lut)) == b"ABC, XYZ"
+    s = Str(b"The quick brown fox")
+    assert s.bytesum() == sum(bytes(s))
+    assert s.sha256() == hashlib.sha256(bytes(s)).digest()
+    assert isinstance(s.hash(), int)
+    assert s.hash(7) != s.hash(8)
+
+
+def test_strs_collection(rng):
+    words = [bytes(rng.integers(97, 123, rng.integers(1, 15)).astype(np.uint8))
+             for _ in range(300)]
+    words += [b"app", b"apple", b"ap\x00", b"ap", b""]
+    coll = Strs(words)
+    assert len(coll) == len(words)
+    assert bytes(coll[0]) == words[0]
+    assert bytes(coll[-1]) == words[-1]
+    assert coll.to_list() == words
+    assert [words[i] for i in coll.order()] == sorted(words)
+    assert [words[i] for i in coll.order(reverse=True)] == sorted(words, reverse=True)
+    assert coll.sort().to_list() == sorted(words)
+    assert len(coll.sample(10, seed=0)) == 10
+    assert sorted(coll.shuffle(seed=0).to_list()) == sorted(words)
+
+
+def test_argsort_uncased_and_topk():
+    mixed = [b"Apple", b"apple", b"BANANA", b"banana", b"Cherry"]
+    perm = argsort_strings(mixed, uncased=True)
+    assert [mixed[i].lower() for i in perm] == sorted(m.lower() for m in mixed)
+    top = argsort_strings(mixed, top_count=2)
+    assert [mixed[i] for i in top] == sorted(mixed)[:2]
+
+
+def test_file_mmap(tmp_path):
+    p = tmp_path / "f.txt"
+    data = b"memory mapped haystack with needle inside"
+    p.write_bytes(data)
+    f = File(str(p))
+    assert f.find("needle") == data.find(b"needle")
+    assert len(f) == len(data)
+    f.close()
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"")
+    assert len(File(str(empty))) == 0
