@@ -33,9 +33,10 @@ from ..ops.similarity import (
     SimilarityConfig,
     UniformCosts,
 )
+from ..ops.myers_pallas import myers_pallas, pick_myers_lane_block
 from ..ops.similarity_pallas import pick_lane_block, similarity_pallas
 from ..ops.tape import Tape, round_up
-from ..parallel.cross import sharded_similarity
+from ..parallel.cross import sharded_myers, sharded_similarity
 from .device_scope import DeviceScope, default_device_scope
 
 __all__ = [
@@ -95,6 +96,19 @@ def _pack_candidates(arrs, idx, length, count_multiple):
     return block, lens
 
 
+def _pack_queries_myers(arrs, idx, rows):
+    """Myers layout: plain query chars (no +1 shift), padded with -1 (never
+    equal to any real char/rune). ``rows`` is a multiple of 32."""
+    count = round_up(max(len(idx), 1), _QUERY_PAD)
+    q_t = np.full((rows, count), -1, dtype=np.int32)
+    qlens = np.zeros((count, 1), dtype=np.int32)
+    for col, i in enumerate(idx):
+        a = arrs[i]
+        q_t[: len(a), col] = a
+        qlens[col, 0] = len(a)
+    return q_t, qlens
+
+
 def _pack_queries(arrs, idx, rows):
     count = round_up(max(len(idx), 1), _QUERY_PAD)
     q_ext_t = np.zeros((rows, count), dtype=np.int32)
@@ -120,6 +134,20 @@ class _CrossProductEngine:
         self._b2c = cfg.costs.byte_to_class_np() if cfg.uses_classes else None
 
     @property
+    def _is_unit_cost(self) -> bool:
+        """Unit-cost Levenshtein routes to the Myers bit-parallel kernel —
+        the same dispatch rule as the reference (``serial.hpp:2620-2720``)."""
+        return (
+            self._cfg.objective == "min"
+            and self._cfg.locality == "global"
+            and isinstance(self._cfg.gaps, LinearGaps)
+            and self._cfg.gaps.open_or_extend == 1
+            and isinstance(self._cfg.costs, UniformCosts)
+            and self._cfg.costs.match == 0
+            and self._cfg.costs.mismatch == 1
+        )
+
+    @property
     def config(self) -> SimilarityConfig:
         return self._cfg
 
@@ -143,27 +171,44 @@ class _CrossProductEngine:
         q_lens = np.array([len(a) for a in q_arrs])
         c_lens = np.array([len(a) for a in c_arrs])
         ndev = scope.device_count
+        use_myers = self._is_unit_cost and int(q_lens.max()) > 0
 
         for c_bucket, c_idx in _group_dyadic(c_lens).items():
-            rows_hint = _dyadic(int(q_lens.max())) + 8
-            lane_block = pick_lane_block(rows_hint, c_bucket)
+            if use_myers:
+                words_hint = max(-(-_dyadic(int(q_lens.max())) // 32), 1)
+                lane_block = pick_myers_lane_block(words_hint, c_bucket)
+            else:
+                rows_hint = _dyadic(int(q_lens.max())) + 8
+                lane_block = pick_lane_block(rows_hint, c_bucket)
             count_multiple = lane_block * ndev
             block, lens = _pack_candidates(c_arrs, c_idx, c_bucket, count_multiple)
             block_j, lens_j = jnp.asarray(block), jnp.asarray(lens)
             for q_bucket, q_idx in _group_dyadic(q_lens).items():
-                rows = round_up(q_bucket + 1, 8)
-                q_ext_t, qlens = _pack_queries(q_arrs, q_idx, rows)
-                if ndev > 1:
-                    res = sharded_similarity(
-                        jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
-                        self._cfg, scope.mesh, table=self._table,
-                        lane_block=lane_block,
-                    )
+                if use_myers:
+                    rows = round_up(q_bucket, 32)
+                    q_t, qlens = _pack_queries_myers(q_arrs, q_idx, rows)
+                    if ndev > 1:
+                        res = sharded_myers(
+                            jnp.asarray(q_t), jnp.asarray(qlens), block_j,
+                            lens_j, scope.mesh, lane_block=lane_block)
+                    else:
+                        res = myers_pallas(
+                            jnp.asarray(q_t), jnp.asarray(qlens), block_j,
+                            lens_j, lane_block=lane_block)
                 else:
-                    res = similarity_pallas(
-                        jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
-                        self._cfg, table=self._table, lane_block=lane_block,
-                    )
+                    rows = round_up(q_bucket + 1, 8)
+                    q_ext_t, qlens = _pack_queries(q_arrs, q_idx, rows)
+                    if ndev > 1:
+                        res = sharded_similarity(
+                            jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                            self._cfg, scope.mesh, table=self._table,
+                            lane_block=lane_block,
+                        )
+                    else:
+                        res = similarity_pallas(
+                            jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                            self._cfg, table=self._table, lane_block=lane_block,
+                        )
                 res = np.asarray(res)[: len(q_idx), : len(c_idx)]
                 out[np.ix_(q_idx, c_idx)] = res.astype(self.result_dtype)
         return out

@@ -1,0 +1,397 @@
+"""UTF-8 layer: rune decode/count/seek, case folding, normalization, uncased
+search, token boundaries, grapheme clusters.
+
+Re-creates the behavior of the reference's ``utf8_*`` domains (reference
+``include/stringzilla/utf8_runes.h:34-96``, ``utf8_uncased_fold.h:55``,
+``utf8_norm.h:46-60``, ``utf8_uncased.h:746-957``, ``utf8_tokens.h:53-139``,
+``utf8_graphemes.h:37``). Invalid input resynchronizes with U+FFFD per
+maximal subpart (``README.md:888-893``) — exactly Python's
+``errors="replace"`` policy, which we use as the host-exact engine. Where the
+reference hand-rolls Unicode property tables, this build derives them from
+CPython's ``unicodedata`` (same UCD) at call time, and the batch/device tier
+(big inputs) uses vectorized numpy/jnp classification over the raw bytes.
+
+Grapheme clustering implements UAX-29 GB1-GB13 with properties derived from
+``unicodedata`` (Extended_Pictographic approximated by the emoji blocks);
+word/sentence/line segmentation land in a later round.
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "utf8_count",
+    "utf8_decode",
+    "utf8_seek",
+    "utf8_fold",
+    "utf8_norm",
+    "utf8_is_normalized",
+    "utf8_find_denormalized",
+    "utf8_uncased_find",
+    "utf8_uncased_order",
+    "utf8_newlines",
+    "utf8_whitespaces",
+    "utf8_delimiters",
+    "utf8_graphemes",
+]
+
+_REPLACEMENT = 0xFFFD
+
+# Unicode newline sequences (UAX-14 mandatory breaks; reference
+# ``utf8_tokens.h:53``). CRLF counts as one token.
+_NEWLINE_RUNES = (0x0A, 0x0B, 0x0C, 0x0D, 0x85, 0x2028, 0x2029)
+
+
+def _as_bytes(data) -> bytes:
+    if isinstance(data, str):
+        return data.encode("utf-8")
+    return bytes(data)
+
+
+def _decode(data) -> str:
+    return _as_bytes(data).decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# Runes
+# ---------------------------------------------------------------------------
+
+
+def utf8_count(data) -> int:
+    """Number of runes incl. U+FFFD replacements (``sz_utf8_count``,
+    reference ``utf8_runes.h:34``)."""
+    buf = _as_bytes(data)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    lead_count = int(((arr & 0xC0) != 0x80).sum())
+    # Fast path: valid UTF-8 has one rune per lead byte. Validate cheaply; on
+    # failure fall back to the exact replacement-aware decode.
+    try:
+        buf.decode("utf-8")
+        return lead_count
+    except UnicodeDecodeError:
+        return len(_decode(buf))
+
+
+def utf8_decode(data) -> np.ndarray:
+    """Decode to ``uint32`` runes (``sz_utf8_decode``, ``utf8_runes.h:96``)."""
+    s = _decode(data)
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def utf8_seek(data, rune_index: int) -> int:
+    """Byte offset of rune ``rune_index`` (``sz_utf8_seek``,
+    ``utf8_runes.h:58``). Clamps to the end like the reference."""
+    buf = _as_bytes(data)
+    try:
+        buf.decode("utf-8")
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        leads = np.nonzero((arr & 0xC0) != 0x80)[0]
+        if rune_index >= len(leads):
+            return len(buf)
+        return int(leads[rune_index])
+    except UnicodeDecodeError:
+        # Exact path: walk maximal subparts.
+        count = 0
+        dec = _incremental_runes(buf)
+        for off, _length, _r in dec:
+            if count == rune_index:
+                return off
+            count += 1
+        return len(buf)
+
+
+def _incremental_runes(buf: bytes):
+    """Yield (byte_offset, byte_length, rune) with U+FFFD maximal-subpart
+    resync — the reference's fill-and-drain decode contract."""
+    i, n = 0, len(buf)
+    while i < n:
+        b = buf[i]
+        if b < 0x80:
+            yield (i, 1, b)
+            i += 1
+            continue
+        # sequence length from the lead byte
+        if b >> 5 == 0b110:
+            L = 2
+        elif b >> 4 == 0b1110:
+            L = 3
+        elif b >> 3 == 0b11110:
+            L = 4
+        else:
+            L = 0
+        if L and i + L <= n:
+            try:
+                ch = buf[i : i + L].decode("utf-8")
+                yield (i, L, ord(ch))
+                i += L
+                continue
+            except UnicodeDecodeError:
+                pass
+        # invalid: consume the maximal subpart (the longest prefix Python's
+        # 'replace' policy turns into a single U+FFFD)
+        j = i + 1
+        while j < n and j - i < 4:
+            if buf[i : j + 1].decode("utf-8", "replace") != "�":
+                break
+            j += 1
+        yield (i, j - i, _REPLACEMENT)
+        i = j
+
+
+# ---------------------------------------------------------------------------
+# Case folding / normalization
+# ---------------------------------------------------------------------------
+
+
+def utf8_fold(data) -> bytes:
+    """Full Unicode case folding incl. multi-char expansions — ß→ss, ﬃ→ffi
+    (``sz_utf8_uncased_fold``, reference ``utf8_uncased_fold.h:55``).
+    Python's ``str.casefold`` implements the same C+F full folding."""
+    return _decode(data).casefold().encode("utf-8")
+
+
+_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def utf8_norm(data, form: str = "NFC") -> bytes:
+    """UAX-15 normalization (``sz_utf8_norm``, reference ``utf8_norm.h:46``)."""
+    if form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS}")
+    return unicodedata.normalize(form, _decode(data)).encode("utf-8")
+
+
+def utf8_is_normalized(data, form: str = "NFC") -> bool:
+    return unicodedata.is_normalized(form, _decode(data))
+
+
+def utf8_find_denormalized(data, form: str = "NFC") -> int:
+    """Byte offset where the text first deviates from normal form, or -1 if
+    fully normalized (``sz_utf8_find_denormalized``, ``utf8_norm.h:60``).
+    Returns the start of the combining sequence containing the first rune at
+    which the text and its normalization diverge."""
+    buf = _as_bytes(data)
+    s = _decode(buf)
+    if unicodedata.is_normalized(form, s):
+        return -1
+    t = unicodedata.normalize(form, s)
+    p = 0
+    while p < len(s) and p < len(t) and s[p] == t[p]:
+        p += 1
+    # rewind to the opening starter of the combining sequence around p
+    seq_start = min(p, len(s) - 1)
+    while seq_start > 0 and unicodedata.combining(s[seq_start]):
+        seq_start -= 1
+    return len(s[:seq_start].encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Case-insensitive search (fold on the fly, original offsets)
+# ---------------------------------------------------------------------------
+
+
+def _fold_with_offsets(buf: bytes):
+    """Folded rune list + per-folded-rune (byte_offset, byte_len) into the
+    original buffer; expansions share their source rune's span."""
+    folded: list[int] = []
+    spans: list[tuple[int, int]] = []
+    for off, length, r in _incremental_runes(buf):
+        f = chr(r).casefold()
+        for ch in f:
+            folded.append(ord(ch))
+            spans.append((off, length))
+    return folded, spans
+
+
+def utf8_uncased_find(haystack, needle, start_rune: int = 0):
+    """Case-insensitive substring search; returns ``(byte_offset, byte_len)``
+    in the ORIGINAL haystack bytes or ``(-1, 0)`` (``sz_utf8_uncased_search``,
+    reference ``utf8_uncased.h:957`` — folding on the fly, no pre-folded
+    haystack copy)."""
+    hb, nb = _as_bytes(haystack), _as_bytes(needle)
+    h_folded, h_spans = _fold_with_offsets(hb)
+    n_folded, _ = _fold_with_offsets(nb)
+    k = len(n_folded)
+    if k == 0:
+        return (0, 0)
+    h = np.asarray(h_folded, dtype=np.int64)
+    nd = np.asarray(n_folded, dtype=np.int64)
+    if len(h) < k:
+        return (-1, 0)
+    mask = np.ones(len(h) - k + 1, dtype=bool)
+    for a in range(k):
+        mask &= h[a : len(h) - k + 1 + a] == nd[a]
+    idx = np.nonzero(mask)[0]
+    idx = idx[idx >= start_rune]
+    if idx.size == 0:
+        return (-1, 0)
+    i = int(idx[0])
+    first_off = h_spans[i][0]
+    last_off, last_len = h_spans[i + k - 1]
+    return (first_off, last_off + last_len - first_off)
+
+
+def utf8_uncased_order(a, b) -> int:
+    """Uncased 3-way collation (``sz_utf8_uncased_order``,
+    ``utf8_uncased.h:746``)."""
+    fa, fb = _decode(a).casefold(), _decode(b).casefold()
+    return -1 if fa < fb else (0 if fa == fb else 1)
+
+
+def utf8_find_cased(data) -> int:
+    """Byte offset of the first rune that changes under folding, or -1
+    (``sz_utf8_find_cased``, ``utf8_uncased.h:800``)."""
+    buf = _as_bytes(data)
+    for off, _length, r in _incremental_runes(buf):
+        if chr(r).casefold() != chr(r):
+            return off
+    return -1
+
+
+# ---------------------------------------------------------------------------
+# Token boundaries (``sz_utf8_newlines/whitespaces/delimiters``)
+# ---------------------------------------------------------------------------
+
+
+def _match_spans(buf: bytes, pred):
+    """(offset, byte_len) spans of single runes satisfying ``pred``."""
+    out = []
+    for off, length, r in _incremental_runes(buf):
+        if pred(r):
+            out.append((off, length))
+    return out
+
+
+def utf8_newlines(data) -> list[tuple[int, int]]:
+    """Newline boundary spans; CRLF coalesces into one 2-byte token
+    (``sz_utf8_newlines``, reference ``utf8_tokens.h:53``)."""
+    buf = _as_bytes(data)
+    spans = _match_spans(buf, lambda r: r in _NEWLINE_RUNES)
+    merged = []
+    skip = False
+    for i, (off, length) in enumerate(spans):
+        if skip:
+            skip = False
+            continue
+        if (buf[off] == 0x0D and i + 1 < len(spans)
+                and spans[i + 1][0] == off + 1 and buf[off + 1] == 0x0A):
+            merged.append((off, length + spans[i + 1][1]))
+            skip = True
+        else:
+            merged.append((off, length))
+    return merged
+
+
+def utf8_whitespaces(data) -> list[tuple[int, int]]:
+    """Unicode whitespace runes (``sz_utf8_whitespaces``, ``utf8_tokens.h:117``)."""
+    return _match_spans(_as_bytes(data),
+                        lambda r: chr(r).isspace() or r == 0x200B)
+
+
+def utf8_delimiters(data) -> list[tuple[int, int]]:
+    """Punctuation/symbol delimiters (``sz_utf8_delimiters``,
+    ``utf8_tokens.h:139``): category P* or S*, or whitespace."""
+
+    def pred(r):
+        c = chr(r)
+        return c.isspace() or unicodedata.category(c)[0] in ("P", "S")
+
+    return _match_spans(_as_bytes(data), pred)
+
+
+# ---------------------------------------------------------------------------
+# Grapheme clusters (UAX-29 GB1-GB13)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _gcb_class(r: int) -> str:
+    if r == 0x0D:
+        return "CR"
+    if r == 0x0A:
+        return "LF"
+    cat = unicodedata.category(chr(r))
+    if cat in ("Cc", "Cf", "Zl", "Zp") and r not in (0x200D,):
+        return "Control"
+    if 0x1F1E6 <= r <= 0x1F1FF:
+        return "RI"
+    if r == 0x200D:
+        return "ZWJ"
+    if cat in ("Mn", "Me") or unicodedata.combining(chr(r)) or r in (0xFF9E, 0xFF9F):
+        return "Extend"
+    if cat == "Mc":
+        return "SpacingMark"
+    # Hangul syllable types
+    if 0x1100 <= r <= 0x115F or 0xA960 <= r <= 0xA97C:
+        return "L"
+    if 0x1160 <= r <= 0x11A7 or 0xD7B0 <= r <= 0xD7C6:
+        return "V"
+    if 0x11A8 <= r <= 0x11FF or 0xD7CB <= r <= 0xD7FB:
+        return "T"
+    if 0xAC00 <= r <= 0xD7A3:
+        return "LVT" if (r - 0xAC00) % 28 else "LV"
+    # Extended_Pictographic approximation: emoji & symbol blocks
+    if (0x1F000 <= r <= 0x1FAFF or 0x2600 <= r <= 0x27BF
+            or r in (0x2764, 0x2B50, 0x203C, 0x2049)):
+        return "ExtPict"
+    return "Other"
+
+
+def _gb_break(prev_cls: str, cls: str, ri_parity: int, after_pict_zwj: bool) -> bool:
+    if prev_cls == "CR" and cls == "LF":
+        return False  # GB3
+    if prev_cls in ("CR", "LF", "Control"):
+        return True  # GB4
+    if cls in ("CR", "LF", "Control"):
+        return True  # GB5
+    if prev_cls == "L" and cls in ("L", "V", "LV", "LVT"):
+        return False  # GB6
+    if prev_cls in ("LV", "V") and cls in ("V", "T"):
+        return False  # GB7
+    if prev_cls in ("LVT", "T") and cls == "T":
+        return False  # GB8
+    if cls in ("Extend", "ZWJ"):
+        return False  # GB9
+    if cls == "SpacingMark":
+        return False  # GB9a
+    if prev_cls == "ZWJ" and cls == "ExtPict" and after_pict_zwj:
+        return False  # GB11
+    if prev_cls == "RI" and cls == "RI" and ri_parity == 1:
+        return False  # GB12/13
+    return True  # GB999
+
+
+def utf8_graphemes(data) -> list[tuple[int, int]]:
+    """Grapheme-cluster spans ``(byte_offset, byte_len)`` (``sz_utf8_graphemes``,
+    reference ``utf8_graphemes.h:37``)."""
+    buf = _as_bytes(data)
+    runes = list(_incremental_runes(buf))
+    if not runes:
+        return []
+    out = []
+    start = runes[0][0]
+    prev_cls = _gcb_class(runes[0][2])
+    ri_run = 1 if prev_cls == "RI" else 0
+    # GB11 state: have we seen ExtPict (Extend*) ZWJ just before?
+    pict_state = prev_cls == "ExtPict"
+    for off, length, r in runes[1:]:
+        cls = _gcb_class(r)
+        if _gb_break(prev_cls, cls, ri_run % 2, pict_state):
+            out.append((start, off - start))
+            start = off
+        if cls == "RI":
+            ri_run = ri_run + 1 if prev_cls == "RI" else 1
+        else:
+            ri_run = 0
+        if cls == "ExtPict":
+            pict_state = True
+        elif cls not in ("Extend", "ZWJ"):
+            pict_state = False
+        prev_cls = cls
+    end = runes[-1][0] + runes[-1][1]
+    out.append((start, end - start))
+    return out

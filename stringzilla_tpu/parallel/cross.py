@@ -16,10 +16,27 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..ops.myers_pallas import myers_pallas
 from ..ops.similarity import SimilarityConfig
 from ..ops.similarity_pallas import similarity_pallas
 
-__all__ = ["sharded_similarity"]
+__all__ = ["sharded_similarity", "sharded_myers"]
+
+
+def sharded_myers(q_t, qlens, cands_t, clens, mesh: Mesh,
+                  lane_block: int | None = None):
+    """Candidate-sharded Myers bit-parallel distances: queries replicated,
+    candidates and results split along the mesh's ``data`` axis."""
+
+    def run(q, ql, c, cl):
+        return myers_pallas(q, ql, c, cl, lane_block=lane_block)
+
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None, "data"), P(None, "data")),
+        out_specs=P(None, "data"), check_rep=False,
+    )
+    return fn(q_t, qlens, cands_t, clens)
 
 
 def sharded_similarity(
