@@ -34,6 +34,7 @@ from ..ops.similarity import (
     UniformCosts,
 )
 from ..ops.myers_pallas import myers_pallas, pick_myers_lane_block
+from ..utils import native
 from ..ops.similarity_pallas import pick_lane_block, similarity_pallas
 from ..ops.tape import Tape, round_up
 from ..parallel.cross import sharded_myers, sharded_similarity
@@ -85,39 +86,40 @@ def _group_dyadic(lengths: np.ndarray) -> dict[int, np.ndarray]:
     return {int(b): np.nonzero(sizes == b)[0] for b in np.unique(sizes)}
 
 
-def _pack_candidates(arrs, idx, length, count_multiple):
+def _as_tape(arrs) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate int32 char arrays into a contiguous tape + offsets — the
+    layout the native packer (``tc_pack_runes_i32``) consumes."""
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = (np.concatenate(arrs) if len(arrs) and offsets[-1]
+            else np.zeros(0, dtype=np.int32)).astype(np.int32)
+    return data, offsets
+
+
+def _pack_candidates(tape, offsets, idx, length, count_multiple):
     count = round_up(len(idx), count_multiple)
-    block = np.zeros((length, count), dtype=np.int32)
-    lens = np.zeros((1, count), dtype=np.int32)
-    for lane, i in enumerate(idx):
-        a = arrs[i]
-        block[: len(a), lane] = a
-        lens[0, lane] = len(a)
-    return block, lens
+    block, lens = native.pack_i32(tape, offsets, np.asarray(idx), count,
+                                  length, transpose=True, fill=0, runes=True)
+    return block, lens.reshape(1, count)
 
 
-def _pack_queries_myers(arrs, idx, rows):
+def _pack_queries_myers(tape, offsets, idx, rows):
     """Myers layout: plain query chars (no +1 shift), padded with -1 (never
     equal to any real char/rune). ``rows`` is a multiple of 32."""
     count = round_up(max(len(idx), 1), _QUERY_PAD)
-    q_t = np.full((rows, count), -1, dtype=np.int32)
-    qlens = np.zeros((count, 1), dtype=np.int32)
-    for col, i in enumerate(idx):
-        a = arrs[i]
-        q_t[: len(a), col] = a
-        qlens[col, 0] = len(a)
-    return q_t, qlens
+    q_t, lens = native.pack_i32(tape, offsets, np.asarray(idx), count, rows,
+                                transpose=True, fill=-1, runes=True)
+    return q_t, lens.reshape(count, 1)
 
 
-def _pack_queries(arrs, idx, rows):
+def _pack_queries(tape, offsets, idx, rows):
     count = round_up(max(len(idx), 1), _QUERY_PAD)
-    q_ext_t = np.zeros((rows, count), dtype=np.int32)
-    qlens = np.zeros((count, 1), dtype=np.int32)
-    for col, i in enumerate(idx):
-        a = arrs[i]
-        q_ext_t[1 : 1 + len(a), col] = a
-        qlens[col, 0] = len(a)
-    return q_ext_t, qlens
+    # +1-shifted layout: row 0 unused; pack into rows-1 then prepend.
+    body, lens = native.pack_i32(tape, offsets, np.asarray(idx), count,
+                                 rows - 1, transpose=True, fill=0, runes=True)
+    q_ext_t = np.concatenate([np.zeros((1, count), np.int32), body], axis=0)
+    return q_ext_t, lens.reshape(count, 1)
 
 
 class _CrossProductEngine:
@@ -170,6 +172,9 @@ class _CrossProductEngine:
 
         q_lens = np.array([len(a) for a in q_arrs])
         c_lens = np.array([len(a) for a in c_arrs])
+        q_tape, q_offsets = _as_tape(q_arrs)
+        c_tape, c_offsets = ((q_tape, q_offsets) if candidates is None
+                             else _as_tape(c_arrs))
         ndev = scope.device_count
         use_myers = self._is_unit_cost and int(q_lens.max()) > 0
 
@@ -181,12 +186,12 @@ class _CrossProductEngine:
                 rows_hint = _dyadic(int(q_lens.max())) + 8
                 lane_block = pick_lane_block(rows_hint, c_bucket)
             count_multiple = lane_block * ndev
-            block, lens = _pack_candidates(c_arrs, c_idx, c_bucket, count_multiple)
+            block, lens = _pack_candidates(c_tape, c_offsets, c_idx, c_bucket, count_multiple)
             block_j, lens_j = jnp.asarray(block), jnp.asarray(lens)
             for q_bucket, q_idx in _group_dyadic(q_lens).items():
                 if use_myers:
                     rows = round_up(q_bucket, 32)
-                    q_t, qlens = _pack_queries_myers(q_arrs, q_idx, rows)
+                    q_t, qlens = _pack_queries_myers(q_tape, q_offsets, q_idx, rows)
                     if ndev > 1:
                         res = sharded_myers(
                             jnp.asarray(q_t), jnp.asarray(qlens), block_j,
@@ -197,7 +202,7 @@ class _CrossProductEngine:
                             lens_j, lane_block=lane_block)
                 else:
                     rows = round_up(q_bucket + 1, 8)
-                    q_ext_t, qlens = _pack_queries(q_arrs, q_idx, rows)
+                    q_ext_t, qlens = _pack_queries(q_tape, q_offsets, q_idx, rows)
                     if ndev > 1:
                         res = sharded_similarity(
                             jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,

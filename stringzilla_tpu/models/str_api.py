@@ -424,12 +424,16 @@ class Strs:
     def lengths(self) -> np.ndarray:
         return (self._ends - self._starts).astype(np.int64)
 
-    def order(self, reverse: bool = False) -> np.ndarray:
+    def order(self, reverse: bool = False, uncased: bool = False,
+              top_count: int | None = None) -> np.ndarray:
         """Stable argsort permutation (``sz_sequence_argsort``, reference
-        ``sort.h:87``; binding ``Strs.order``)."""
-        from ..ops.sort import argsort_strings
+        ``sort.h:87``; binding ``Strs.order``). Zero-copy: sort keys are
+        exported straight from the parent buffer by the native runtime."""
+        from ..ops.sort import argsort_bounds
 
-        return argsort_strings(self.to_list(), reverse=reverse)
+        return argsort_bounds(self._parent._buf, self._starts, self._ends,
+                              reverse=reverse, uncased=uncased,
+                              top_count=top_count)
 
     def sort(self, reverse: bool = False) -> "Strs":
         """Sorted copy of the collection (binding ``Strs.sort``)."""

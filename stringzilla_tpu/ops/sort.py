@@ -7,22 +7,19 @@ at deeper offsets (reference ``include/stringzilla/sort.h:87,141``,
 to XLA, so the TPU design sorts ONCE, lexicographically, on the full key
 ladder:
 
-* pad every string to ``8 * ceil(maxlen/8)`` bytes with ``0x00`` (shorter
-  strings order before their extensions, matching byte-wise order);
-* view each 8-byte group big-endian as two ``uint32`` lanes — the pgram
-  export, vectorized;
-* one ``jax.lax.sort`` call over ``(hi0, lo0, hi1, lo1, ..., iota)`` — XLA's
-  bitonic/multi-operand sort on device; the trailing iota both makes the sort
-  stable and returns the permutation.
+* every string's bytes become big-endian ``uint32`` key words (zero-padded —
+  shorter strings order before their extensions) plus a length tiebreak word;
+  the export runs in the native host runtime (``native/tapecraft.cpp``
+  ``tc_pgram_keys``) with a numpy fallback;
+* one ``jax.lax.sort`` call over ``(key0, key1, ..., len, iota)`` — XLA's
+  multi-operand sort on device; the trailing iota both makes the sort stable
+  and returns the permutation.
 
 ``reverse=True`` inverts the key bytes (``0xFF - b``) before sorting, which
-yields descending order while keeping ties in original (stable) order —
-matching the reference's ``reverse`` flag (``sort.h:24-26``).
-``top_count`` returns only the first K indices (``sort.h:24``, partial mode).
-
-The uncased variant folds ASCII case before key export
-(``sz_sequence_argsort_uncased``, ``sort.h:114`` — reference folds uncased
-chunks on the fly, ``sort.h:18-22``).
+yields descending order while keeping ties stable — matching the reference's
+``reverse`` flag (``sort.h:24-26``). ``top_count`` returns only the first K
+indices (``sort.h:24``, partial mode). ``uncased`` folds ASCII case during
+key export (``sz_sequence_argsort_uncased``, ``sort.h:114``).
 """
 
 from __future__ import annotations
@@ -33,14 +30,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["argsort_strings", "argsort_tape", "pack_pgram_keys"]
+from ..utils import native
+
+__all__ = ["argsort_strings", "argsort_tape", "argsort_bounds", "pack_pgram_keys"]
 
 _DEVICE_MIN_ITEMS = 1 << 14  # below this, host lexsort wins on latency
 
 
 def pack_pgram_keys(items: list[bytes], reverse: bool = False,
                     uncased: bool = False) -> np.ndarray:
-    """Dense big-endian key matrix ``uint32[n, 2*ceil(maxlen/8)]``."""
+    """Dense key matrix ``uint32[n, ceil(maxlen/4) + 1]`` (numpy reference
+    packer; the native tier is ``tc_pgram_keys``)."""
     n = len(items)
     maxlen = max((len(s) for s in items), default=0)
     width = max(-(-maxlen // 8) * 8, 8)
@@ -52,15 +52,12 @@ def pack_pgram_keys(items: list[bytes], reverse: bool = False,
         dense = np.where(is_upper, dense + 32, dense)
     if reverse:
         dense = 255 - dense
-    # big-endian u32 per 4 bytes → lexicographic order == numeric order
     keys = dense.reshape(n, -1, 4).astype(np.uint32) @ np.array(
         [1 << 24, 1 << 16, 1 << 8, 1], dtype=np.uint32
     )
-    # Length tiebreak: zero-padding makes "ap" == "ap\x00" — the shorter
-    # string must order first (byte-wise order on true lengths).
     lens = np.array([len(s) for s in items], dtype=np.uint32)
     if reverse:
-        lens = np.uint32(0xFFFFFFFF) - lens
+        lens = ~lens
     return np.concatenate([keys, lens[:, None]], axis=1)
 
 
@@ -69,29 +66,56 @@ def _device_argsort(keys: jnp.ndarray, num_keys: int) -> jnp.ndarray:
     n = keys.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     operands = tuple(keys[:, c] for c in range(num_keys)) + (iota,)
-    out = jax.lax.sort(operands, dimension=0, is_stable=True,
-                       num_keys=num_keys)
+    out = jax.lax.sort(operands, dimension=0, is_stable=True, num_keys=num_keys)
     return out[-1]
+
+
+def _argsort_keys(keys: np.ndarray, top_count: int | None) -> np.ndarray:
+    n = keys.shape[0]
+    if n < _DEVICE_MIN_ITEMS:
+        order = np.lexsort(tuple(keys[:, c] for c in reversed(range(keys.shape[1]))))
+    else:
+        order = np.asarray(_device_argsort(jnp.asarray(keys), keys.shape[1]))
+    order = order.astype(np.int64)
+    return order[:top_count] if top_count is not None else order
+
+
+def argsort_bounds(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                   reverse: bool = False, top_count: int | None = None,
+                   uncased: bool = False) -> np.ndarray:
+    """Argsort of string views ``data[starts[i]:ends[i]]`` — zero-copy entry
+    used by ``Strs.order``."""
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.int64)
+    maxlen = int((np.asarray(ends) - np.asarray(starts)).max())
+    words = max(-(-maxlen // 4), 2)
+    keys = native.pgram_keys(data, starts, ends, words,
+                             uncased=uncased, reverse=reverse)
+    if keys is None:
+        items = [bytes(data[int(s) : int(e)]) for s, e in zip(starts, ends)]
+        keys = pack_pgram_keys(items, reverse=reverse, uncased=uncased)
+    return _argsort_keys(keys, top_count)
 
 
 def argsort_strings(items: list[bytes], reverse: bool = False,
                     top_count: int | None = None,
                     uncased: bool = False) -> np.ndarray:
     """Stable argsort permutation of a list of byte strings."""
-    n = len(items)
-    if n == 0:
+    if len(items) == 0:
         return np.zeros(0, dtype=np.int64)
+    if native.available():
+        lens = np.fromiter((len(s) for s in items), dtype=np.int64,
+                           count=len(items))
+        offsets = np.zeros(len(items) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        data = np.frombuffer(b"".join(items), dtype=np.uint8)
+        return argsort_bounds(data, offsets[:-1], offsets[1:], reverse=reverse,
+                              top_count=top_count, uncased=uncased)
     keys = pack_pgram_keys(items, reverse=reverse, uncased=uncased)
-    if n < _DEVICE_MIN_ITEMS:
-        order = np.lexsort(tuple(keys[:, c] for c in reversed(range(keys.shape[1]))))
-    else:
-        order = np.asarray(_device_argsort(jnp.asarray(keys), keys.shape[1]))
-    order = order.astype(np.int64)
-    if top_count is not None:
-        order = order[:top_count]
-    return order
+    return _argsort_keys(keys, top_count)
 
 
 def argsort_tape(tape, **kwargs) -> np.ndarray:
     """Argsort of a ``Tape`` (the ``szs``-style tape container)."""
-    return argsort_strings(tape.to_list(), **kwargs)
+    return argsort_bounds(np.asarray(tape.data), tape.offsets[:-1],
+                          tape.offsets[1:], **kwargs)

@@ -34,7 +34,7 @@ def sharded_myers(q_t, qlens, cands_t, clens, mesh: Mesh,
     fn = shard_map(
         run, mesh=mesh,
         in_specs=(P(None, None), P(None, None), P(None, "data"), P(None, "data")),
-        out_specs=P(None, "data"), check_rep=False,
+        out_specs=P(None, "data"), check_vma=False,
     )
     return fn(q_t, qlens, cands_t, clens)
 
@@ -61,7 +61,7 @@ def sharded_similarity(
         in_specs.append(P(None, None))
     fn = shard_map(
         run, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(None, "data"),
-        check_rep=False,
+        check_vma=False,
     )
     args = (q_ext_t, qlens, cands_t, clens) + ((table,) if has_table else ())
     return fn(*args)

@@ -1,0 +1,196 @@
+"""ctypes bridge to the native host runtime (``native/tapecraft.cpp``).
+
+Builds the shared library on first use with the system toolchain and caches
+it next to the source (mtime-checked). Every entry point has a pure-numpy
+fallback, so the package works even without a compiler — the native path is
+the production host tier (the reference's host runtime is C/C++ as well).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+__all__ = ["lib", "available", "pack_i32", "pack_u8", "tokenize_ws",
+           "split_lines", "pgram_keys"]
+
+_REPO_NATIVE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_REPO_NATIVE, "tapecraft.cpp")
+_SO = os.path.join(_REPO_NATIVE, "libtapecraft.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def lib():
+    """The loaded ctypes library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            L = ctypes.CDLL(so)
+        except OSError:
+            return None
+        c_i64 = ctypes.c_int64
+        c_p = ctypes.c_void_p
+        L.tc_pack_u8.argtypes = [c_p, c_p, c_p, c_i64, c_p, c_i64, c_i64, ctypes.c_int]
+        L.tc_pack_i32.argtypes = [c_p, c_p, c_p, c_i64, c_p, c_i64, c_i64,
+                                  ctypes.c_int, ctypes.c_int32, c_p]
+        L.tc_pack_runes_i32.argtypes = L.tc_pack_i32.argtypes
+        L.tc_tokenize_ws.argtypes = [c_p, c_i64, c_p, c_i64]
+        L.tc_tokenize_ws.restype = c_i64
+        L.tc_split_lines.argtypes = [c_p, c_i64, c_p, c_i64]
+        L.tc_split_lines.restype = c_i64
+        L.tc_pgram_keys.argtypes = [c_p, c_p, c_p, c_i64, c_p, c_i64,
+                                    ctypes.c_int, ctypes.c_int]
+        L.tc_bytesum.argtypes = [c_p, c_i64]
+        L.tc_bytesum.restype = ctypes.c_uint64
+        _lib = L
+        return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def pack_i32(data: np.ndarray, offsets: np.ndarray, indices: np.ndarray | None,
+             rows: int, row_len: int, transpose: bool, fill: int,
+             runes: bool = False):
+    """Ragged→dense int32 pack. Returns (matrix, lengths int32[rows])."""
+    count = len(indices) if indices is not None else len(offsets) - 1
+    shape = (row_len, rows) if transpose else (rows, row_len)
+    out = np.empty(shape, dtype=np.int32)
+    lengths = np.zeros(rows, dtype=np.int32)
+    L = lib()
+    if L is not None:
+        idx = None
+        if indices is not None:
+            idx = np.ascontiguousarray(indices, dtype=np.int64)
+        data = np.ascontiguousarray(data)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        fn = L.tc_pack_runes_i32 if runes else L.tc_pack_i32
+        fn(_ptr(data), _ptr(offsets), _ptr(idx) if idx is not None else None,
+           count, _ptr(out), rows, row_len, int(transpose), fill, _ptr(lengths))
+        return out, lengths
+    # numpy fallback
+    out.fill(fill)
+    for r in range(count):
+        i = int(indices[r]) if indices is not None else r
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        lengths[r] = hi - lo
+        n = min(hi - lo, row_len)
+        seg = data[lo : lo + n]
+        if transpose:
+            out[:n, r] = seg
+        else:
+            out[r, :n] = seg
+    return out, lengths
+
+
+def pack_u8(data: np.ndarray, offsets: np.ndarray, indices: np.ndarray | None,
+            rows: int, row_len: int, transpose: bool = False) -> np.ndarray:
+    count = len(indices) if indices is not None else len(offsets) - 1
+    shape = (row_len, rows) if transpose else (rows, row_len)
+    out = np.zeros(shape, dtype=np.uint8)
+    L = lib()
+    if L is not None:
+        idx = np.ascontiguousarray(indices, dtype=np.int64) if indices is not None else None
+        L.tc_pack_u8(_ptr(np.ascontiguousarray(data)),
+                     _ptr(np.ascontiguousarray(offsets, dtype=np.int64)),
+                     _ptr(idx) if idx is not None else None,
+                     count, _ptr(out), rows, row_len, int(transpose))
+        return out
+    for r in range(count):
+        i = int(indices[r]) if indices is not None else r
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        n = min(hi - lo, row_len)
+        if transpose:
+            out[:n, r] = data[lo : lo + n]
+        else:
+            out[r, :n] = data[lo : lo + n]
+    return out
+
+
+def tokenize_ws(data: np.ndarray) -> np.ndarray:
+    """Whitespace token [start, end) bounds, shape (k, 2) int64."""
+    L = lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    if L is not None:
+        count = L.tc_tokenize_ws(_ptr(data), n, None, 0)
+        bounds = np.empty((count, 2), dtype=np.int64)
+        L.tc_tokenize_ws(_ptr(data), n, _ptr(bounds), count)
+        return bounds
+    import re
+
+    spans = [(m.start(), m.end())
+             for m in re.finditer(rb"[^ \t\n\r\x0b\x0c]+", data.tobytes())]
+    return np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+
+
+def split_lines(data: np.ndarray) -> np.ndarray:
+    L = lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    if L is not None:
+        count = L.tc_split_lines(_ptr(data), n, None, 0)
+        bounds = np.empty((count, 2), dtype=np.int64)
+        L.tc_split_lines(_ptr(data), n, _ptr(bounds), count)
+        return bounds
+    spans = []
+    pos = 0
+    for line in data.tobytes().splitlines():
+        start = pos
+        spans.append((start, start + len(line)))
+        pos = start + len(line) + 1
+    return np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+
+
+def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+               words_per_str: int, uncased: bool = False,
+               reverse: bool = False) -> np.ndarray | None:
+    """Per-string sort keys: big-endian u32 pgrams + length tiebreak,
+    shape (count, words_per_str + 1) uint32. None when native is absent
+    (caller falls back to the numpy packer in ops.sort)."""
+    count = len(starts)
+    L = lib()
+    if L is None:
+        return None
+    out = np.empty((count, words_per_str + 1), dtype=np.uint32)
+    L.tc_pgram_keys(_ptr(np.ascontiguousarray(data)),
+                    _ptr(np.ascontiguousarray(starts, dtype=np.int64)),
+                    _ptr(np.ascontiguousarray(ends, dtype=np.int64)),
+                    count, _ptr(out), words_per_str, int(uncased), int(reverse))
+    return out
