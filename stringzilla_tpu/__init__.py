@@ -26,7 +26,10 @@ from .models.similarities import (
 )
 from .ops import find as _find
 from .ops.hash import Hasher, Sha256, bytesum, fill_random, hash_multiseed, hmac_sha256, sz_hash
+from .ops.intersect import intersect
 from .ops.sort import argsort_strings
+from .ops import utf8 as _u
+from .ops import utf8_segment as _useg
 from .ops.tape import Tape
 from .utils import platform
 
@@ -38,6 +41,22 @@ count = _find.count
 find_byteset = _find.find_byteset
 rfind_byteset = _find.rfind_byteset
 hash = sz_hash  # noqa: A001 - intentional API parity with the reference
+utf8_count = _u.utf8_count
+utf8_decode = _u.utf8_decode
+utf8_seek = _u.utf8_seek
+utf8_fold = _u.utf8_fold
+utf8_norm = _u.utf8_norm
+utf8_find_denormalized = _u.utf8_find_denormalized
+utf8_uncased_find = _u.utf8_uncased_find
+utf8_uncased_order = _u.utf8_uncased_order
+utf8_newlines = _u.utf8_newlines
+utf8_whitespaces = _u.utf8_whitespaces
+utf8_delimiters = _u.utf8_delimiters
+utf8_graphemes = _u.utf8_graphemes
+utf8_words = _useg.utf8_words
+utf8_wordbreaks = _useg.utf8_wordbreaks
+utf8_sentences = _useg.utf8_sentences
+utf8_linebreaks = _useg.utf8_linebreaks
 
 __version__ = "0.1.0"
 
@@ -62,8 +81,25 @@ __all__ = [
     "hash",
     "hash_multiseed",
     "hmac_sha256",
+    "intersect",
     "rfind",
     "rfind_byteset",
+    "utf8_count",
+    "utf8_decode",
+    "utf8_seek",
+    "utf8_fold",
+    "utf8_norm",
+    "utf8_find_denormalized",
+    "utf8_uncased_find",
+    "utf8_uncased_order",
+    "utf8_newlines",
+    "utf8_whitespaces",
+    "utf8_delimiters",
+    "utf8_graphemes",
+    "utf8_words",
+    "utf8_wordbreaks",
+    "utf8_sentences",
+    "utf8_linebreaks",
     "Fingerprints",
     "LevenshteinDistances",
     "LevenshteinDistancesUTF8",

@@ -183,10 +183,96 @@ def _finalize_long(aes: np.ndarray, summ: np.ndarray, ins: np.ndarray, seed: int
     return int(_u64s(result)[0])
 
 
+def _seed_blocks(seeds: np.ndarray, pi_lo, pi_hi) -> np.ndarray:
+    """(S, 16) seed-xor-pi blocks for a vector of seeds."""
+    w = np.stack([seeds ^ pi_lo, seeds ^ pi_hi], axis=-1)
+    return _from_u64s(w).reshape(len(seeds), 16)
+
+
 def hash_multiseed(data: bytes, seeds) -> np.ndarray:
     """One hash per seed over the same input (``sz_hash_multiseed``,
-    ``hash.h:173``) — identical to per-seed ``sz_hash`` calls."""
-    return np.array([sz_hash(data, int(s)) for s in seeds], dtype=np.uint64)
+    ``hash.h:173``) — bit-identical to per-seed ``sz_hash`` calls, but all
+    seed states advance together in one batched AES pipeline (the reference's
+    input-prep amortization, ``hash.h:151-157``)."""
+    seeds = np.asarray(list(seeds), dtype=np.uint64)
+    S = len(seeds)
+    data = bytes(data)
+    length = len(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        if length <= 64:
+            aes = _seed_blocks(seeds, PI[0], PI[1])
+            summ = _seed_blocks(seeds, PI[8], PI[9])
+            n_blocks = max(1, -(-length // 16))
+            padded = np.zeros(n_blocks * 16, dtype=np.uint8)
+            padded[:length] = buf
+            for b in range(n_blocks):
+                block = np.broadcast_to(padded[b * 16 : (b + 1) * 16], (S, 16))
+                aes = aesenc(aes, block)
+                summ = _sum_update(summ, block)
+            kwl = _from_u64s(np.stack([seeds + np.uint64(length), seeds], -1)).reshape(S, 16)
+            mixed = aesenc(summ, aes)
+            result = aesenc(aesenc(mixed, kwl), mixed)
+            return _u64s(result)[:, 0].copy()
+        # Long path: 4 lanes per seed → (S, 4, 16) states.
+        aes = _from_u64s(seeds[:, None] ^ PI[None, :8]).reshape(S, 4, 16)
+        summ = _from_u64s(seeds[:, None] ^ PI[None, 8:]).reshape(S, 4, 16)
+        offset = 0
+        while offset + 64 < length:
+            chunk = np.broadcast_to(
+                buf[offset : offset + 64].reshape(4, 16), (S, 4, 16))
+            aes = aesenc(aes, chunk)
+            summ = _sum_update(summ, chunk)
+            offset += 64
+        ins = np.zeros(64, dtype=np.uint8)
+        ins[: length - offset] = buf[offset:]
+        blk = np.broadcast_to(ins.reshape(4, 16), (S, 4, 16))
+        lanes_aes = aesenc(aes, blk)
+        lanes_sum = _sum_update(summ, blk)
+        mixed = aesenc(lanes_sum, lanes_aes)
+        mixed01 = aesenc(mixed[:, 0], mixed[:, 1])
+        mixed23 = aesenc(mixed[:, 2], mixed[:, 3])
+        mixed_all = aesenc(mixed01, mixed23)
+        kwl = _from_u64s(np.stack([seeds + np.uint64(length), seeds], -1)).reshape(S, 16)
+        result = aesenc(aesenc(mixed_all, kwl), mixed_all)
+        return _u64s(result)[:, 0].copy()
+
+
+def hash_batch(items, seed: int = 0) -> np.ndarray:
+    """Vectorized ``sz_hash`` over a collection — strings grouped by 16-byte
+    block count advance through the AES pipeline together (the batch analog
+    of the reference's per-call kernel; bit-identical outputs)."""
+    items = [bytes(s) for s in items]
+    out = np.zeros(len(items), dtype=np.uint64)
+    short_groups: dict[int, list[int]] = {}
+    for i, s in enumerate(items):
+        if len(s) <= 64:
+            short_groups.setdefault(max(1, -(-len(s) // 16)), []).append(i)
+        else:
+            out[i] = sz_hash(s, seed)
+    seed_u = np.uint64(seed)
+    with np.errstate(over="ignore"):
+        for n_blocks, idx in short_groups.items():
+            G = len(idx)
+            padded = np.zeros((G, n_blocks * 16), dtype=np.uint8)
+            lengths = np.empty(G, dtype=np.uint64)
+            for row, i in enumerate(idx):
+                s = items[i]
+                padded[row, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+                lengths[row] = len(s)
+            aes = np.broadcast_to(_seed_block(seed, PI[0], PI[1]), (G, 16)).copy()
+            summ = np.broadcast_to(_seed_block(seed, PI[8], PI[9]), (G, 16)).copy()
+            for b in range(n_blocks):
+                block = padded[:, b * 16 : (b + 1) * 16]
+                aes = aesenc(aes, block)
+                summ = _sum_update(summ, block)
+            kwl = _from_u64s(np.stack(
+                [seed_u + lengths, np.broadcast_to(seed_u, lengths.shape)], -1
+            )).reshape(G, 16)
+            mixed = aesenc(summ, aes)
+            result = aesenc(aesenc(mixed, kwl), mixed)
+            out[np.asarray(idx)] = _u64s(result)[:, 0]
+    return out
 
 
 def bytesum(data: bytes) -> int:
@@ -196,14 +282,20 @@ def bytesum(data: bytes) -> int:
 
 def fill_random(length: int, nonce: int = 0) -> bytes:
     """AES-CTR pseudo-random bytes, reproducible per nonce across backends
-    (``sz_fill_random``, ``hash/serial.h:953-968``)."""
-    n_blocks = -(-length // 16) if length else 0
-    out = np.empty(max(n_blocks, 1) * 16, dtype=np.uint8)
-    for lane in range(n_blocks):
-        inp = _from_u64s(np.array([np.uint64(nonce) + np.uint64(lane)] * 2, dtype=np.uint64))
-        pi_pair = PI[(lane % 4) * 2 : (lane % 4) * 2 + 2]
-        key = _from_u64s(np.uint64(nonce) ^ pi_pair)
-        out[lane * 16 : (lane + 1) * 16] = aesenc(inp, key)
+    (``sz_fill_random``, ``hash/serial.h:953-968``). One batched AES round
+    over all counter blocks — the whole buffer is generated in a single
+    vectorized pass."""
+    if length <= 0:
+        return b""
+    n_blocks = -(-length // 16)
+    lanes = np.arange(n_blocks, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ctr = np.uint64(nonce) + lanes
+    inp = _from_u64s(np.stack([ctr, ctr], axis=-1)).reshape(n_blocks, 16)
+    pi_idx = (lanes % np.uint64(4)).astype(np.int64) * 2
+    keys_u64 = np.uint64(nonce) ^ np.stack([PI[pi_idx], PI[pi_idx + 1]], axis=-1)
+    keys = _from_u64s(keys_u64).reshape(n_blocks, 16)
+    out = aesenc(inp, keys).reshape(-1)
     return out[:length].tobytes()
 
 

@@ -1,0 +1,65 @@
+"""Vectorized hash family (batch/multiseed/fill_random incl. the device AES
+kernel) and UTF-8 segmentation — differential vs the scalar bit-exact paths
+and UAX expectations."""
+
+import numpy as np
+
+from stringzilla_tpu.ops.aes_pallas import fill_random_device
+from stringzilla_tpu.ops.hash import fill_random, hash_batch, hash_multiseed, sz_hash
+from stringzilla_tpu.ops.utf8_segment import (
+    utf8_linebreaks,
+    utf8_sentences,
+    utf8_wordbreaks,
+    utf8_words,
+)
+
+
+def test_hash_batch_matches_scalar(rng):
+    items = [bytes(rng.integers(0, 256, int(rng.integers(0, 65))).astype(np.uint8))
+             for _ in range(200)]
+    items += [bytes(rng.integers(0, 256, int(rng.integers(65, 300))).astype(np.uint8))
+              for _ in range(10)]
+    out = hash_batch(items, seed=7)
+    for i, s in enumerate(items):
+        assert out[i] == sz_hash(s, 7)
+
+
+def test_hash_multiseed_matches_scalar(rng):
+    short = b"The quick brown fox"
+    long = bytes(rng.integers(0, 256, 1000).astype(np.uint8))
+    for data in (short, long, b""):
+        ms = hash_multiseed(data, range(8))
+        for s in range(8):
+            assert ms[s] == sz_hash(data, s)
+
+
+def test_fill_random_device_bit_identical():
+    for L, nonce in ((1, 0), (16, 5), (100, 7), (5000, 123456789), (40000, 2**63 + 9)):
+        dev = bytes(np.asarray(fill_random_device(L, nonce)))
+        assert dev == fill_random(L, nonce)
+
+
+def test_words():
+    b = "The quick-brown fox can't jump 32.5 feet, right?".encode()
+    words = [bytes(b[o : o + l]).decode() for o, l in utf8_words(b)]
+    assert words == ["The", "quick", "brown", "fox", "can't", "jump",
+                     "32.5", "feet", "right"]
+    assert utf8_wordbreaks(b"ab cd") == [2, 3]
+    assert len(utf8_words("русский текст 123".encode())) == 3
+
+
+def test_sentences():
+    s = "Hello world. No caps here. it continues! Done.".encode()
+    sents = [bytes(s[o : o + l]).decode() for o, l in utf8_sentences(s)]
+    assert sents[0] == "Hello world. "
+    assert any("here. it" in x for x in sents)  # SB8 lowercase continuation
+    u = "U.S. Government".encode()
+    assert len(utf8_sentences(u)) == 1  # SB7 Upper ATerm Upper
+
+
+def test_linebreaks():
+    lb = utf8_linebreaks(b"foo bar-baz qux")
+    assert 4 in lb and 8 in lb and 12 in lb
+    assert 1 not in lb  # no break inside a word
+    assert len(utf8_linebreaks("日本語テスト".encode())) >= 4
+    assert utf8_linebreaks(b"a\nb")[0] == 2  # mandatory after LF
