@@ -50,6 +50,7 @@ __all__ = [
 ]
 
 _QUERY_PAD = 8  # query-count granularity bounding jit specializations
+_LONG_THRESHOLD = 4096  # beyond this, pairs route to the wavefront tier
 
 
 def _decode_utf8_runes(data: bytes) -> np.ndarray:
@@ -149,6 +150,21 @@ class _CrossProductEngine:
             and self._cfg.costs.mismatch == 1
         )
 
+    def _score_long_pairs(self, q_arrs, c_arrs, q_long, c_long, out):
+        """Every pair touching a long string runs on the anti-diagonal
+        wavefront kernel (one kernel launch per pair — the intra-pair tier)."""
+        from ..ops.wavefront_pallas import wavefront_score
+
+        costs = self._cfg.costs
+        gap = self._cfg.gaps.open_or_extend
+        for i, q in enumerate(q_arrs):
+            for j, c in enumerate(c_arrs):
+                if not (q_long[i] or c_long[j]):
+                    continue
+                out[i, j] = wavefront_score(
+                    q, c, match=costs.match, mismatch=costs.mismatch, gap=gap,
+                    objective=self._cfg.objective, locality=self._cfg.locality)
+
     @property
     def config(self) -> SimilarityConfig:
         return self._cfg
@@ -178,7 +194,27 @@ class _CrossProductEngine:
         ndev = scope.device_count
         use_myers = self._is_unit_cost and int(q_lens.max()) > 0
 
+        # Long-pair tier: strings beyond the lane-packed kernels' VMEM reach
+        # route pair-by-pair to the anti-diagonal wavefront — the analog of
+        # the reference's intra-pair large tier (``cross_in_parallel_``,
+        # serial.hpp:3334-3345).
+        q_long = q_lens > _LONG_THRESHOLD
+        c_long = c_lens > _LONG_THRESHOLD
+        has_long = bool(q_long.any() or c_long.any())
+        if has_long:
+            if self._cfg.uses_classes or self._cfg.is_affine:
+                raise NotImplementedError(
+                    "class-cost / affine scoring of pairs longer than "
+                    f"{_LONG_THRESHOLD} is not yet supported on this backend")
+            self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out)
+            if (~q_long).sum() == 0 or (~c_long).sum() == 0:
+                return out
+
         for c_bucket, c_idx in _group_dyadic(c_lens).items():
+            if has_long:
+                c_idx = c_idx[~c_long[c_idx]]
+                if c_idx.size == 0:
+                    continue
             if use_myers:
                 words_hint = max(-(-_dyadic(int(q_lens.max())) // 32), 1)
                 lane_block = pick_myers_lane_block(words_hint, c_bucket)
@@ -189,6 +225,10 @@ class _CrossProductEngine:
             block, lens = _pack_candidates(c_tape, c_offsets, c_idx, c_bucket, count_multiple)
             block_j, lens_j = jnp.asarray(block), jnp.asarray(lens)
             for q_bucket, q_idx in _group_dyadic(q_lens).items():
+                if has_long:
+                    q_idx = q_idx[~q_long[q_idx]]
+                    if q_idx.size == 0:
+                        continue
                 if use_myers:
                     rows = round_up(q_bucket, 32)
                     q_t, qlens = _pack_queries_myers(q_tape, q_offsets, q_idx, rows)

@@ -1,0 +1,191 @@
+"""Anti-diagonal wavefront DP for ONE long pair — the ``diagonal_walker`` tier.
+
+The lane-packed kernels (``similarity_pallas``, ``myers_pallas``) parallelize
+ACROSS pairs; a single megabyte-scale pair would use one lane. The reference
+solves this with its intra-pair tier: ``diagonal_walker`` sweeps
+anti-diagonals, whose cells are mutually independent (reference
+``similarities/serial.hpp:533-546,1387``; the ``cross_in_parallel_`` scheduler
+routes any pair with ``min(len) > L1`` to it, ``serial.hpp:3334-3345``).
+
+TPU design: diagonal ``d`` holds cells ``(i, d-i)``; the diagonal is laid out
+FLAT over a ``(rows, 128)`` tile (cell ``i`` at ``[i//128, i%128]``), so every
+step is dense VPU work over the whole diagonal:
+
+* three rotating diagonals (linear gaps): ``D[d][i]`` needs ``D[d-1][i]``,
+  ``D[d-1][i-1]`` (one flat shift — the same roll+row-select trick as
+  ``find_pallas._shifted``), and ``D[d-2][i-1]`` + substitution;
+* the second operand streams through a shift register: ``T[i] = b[d-1-i]``
+  advances by one flat shift + head insert per step, so the substitution
+  compare ``q[i-1] == b[d-i-1]`` is elementwise;
+* boundaries (``D[d][0]``, ``D[d][d]``) and out-of-range lanes are masked
+  with flat iotas; the local variant clamps at 0 and max-tracks.
+
+Uniform substitution costs + linear gaps (the Levenshtein / uniform-NW/SW
+family); memory is O(diagonal), so one chip handles pairs up to ~500 K chars
+(3 diagonals + shift register in VMEM). Cross-chip ring decomposition via
+``ppermute`` frontier exchange is the planned extension (the reference's GPU
+``row_frontier`` pattern, ``cuda.cuh:708-749``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import platform
+
+__all__ = ["wavefront_score", "MAX_FLAT_CELLS"]
+
+LANES = 128
+BIG = 1 << 28
+MAX_FLAT_CELLS = 1 << 19  # diagonal cells per chip (VMEM budget)
+
+
+def _flat_shift_down(X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """``out[flat i] = X[flat i-1]`` over the row-major (rows, 128) layout;
+    position 0 receives X's junk (callers mask it)."""
+    rows = X.shape[0]
+    Z = jnp.roll(X, 1, axis=1) if interpret else pltpu.roll(X, 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    Zup = jnp.concatenate([Z[:1], Z[:-1]], axis=0)  # row r-1's rolled copy
+    return jnp.where(col == 0, Zup, Z)
+
+
+def _kernel(objective: str, locality: str, rows: int, interpret: bool, refs):
+    a_ref, b_ref, mn_ref, costs_ref, out_ref = refs
+    m = mn_ref[0, 0]
+    n = mn_ref[0, 1]
+    match = costs_ref[0, 0]
+    mismatch = costs_ref[0, 1]
+    gap = costs_ref[0, 2]
+
+    is_min = objective == "min"
+    is_local = locality == "local"
+    ident = jnp.int32(BIG if is_min else -BIG)
+    opt = jnp.minimum if is_min else jnp.maximum
+
+    shape = (rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+    def boundary(d):
+        return jnp.int32(0) if is_local else gap * d
+
+    # qm1[i] = a[i-1]; row 0 unused (masked)
+    qm1 = _flat_shift_down(a_ref[...], interpret)
+
+    # D2 = diag 0 (cell (0,0) = 0), D1 = diag 1 (cells (0,1),(1,0) = boundary)
+    D2 = jnp.where(flat == 0, 0, ident)
+    D1 = jnp.where(flat <= 1, boundary(jnp.int32(1)), ident)
+    # Shift register entering step d=2: T[i] = b[d-1-i] → T[0]=b[1], T[1]=b[0]
+    T0 = jnp.full(shape, -1, jnp.int32)
+    T0 = jnp.where(flat == 1, b_ref[0, 0], T0)
+    T0 = jnp.where(flat == 0, jnp.where(n > 1, b_ref[0, 1], jnp.int32(-1)), T0)
+    best0 = jnp.zeros((1, 1), jnp.int32)
+
+    def step(d, carry):
+        D1, D2, T, best = carry
+        # substitution for cell (i, d-i): q[i-1] vs b[d-i-1] = T[i-1]... T is
+        # aligned so that T[i] = b[d-1-i]; cell i uses b[d-i-1] = T[i-1]?
+        # T[i-1] = b[d-1-(i-1)] = b[d-i]. We need b[d-i-1] = T[i]. Direct.
+        sub = jnp.where(qm1 == T, match, mismatch)
+        D1s = _flat_shift_down(D1, interpret)
+        D2s = _flat_shift_down(D2, interpret)
+        cand = opt(D1 + gap, D1s + gap)
+        cand = opt(cand, D2s + sub)
+        if is_local:
+            cand = opt(cand, 0)
+        # boundaries: i == 0 → D[d][0] = boundary(d) (valid while d <= n);
+        # i == d (j == 0) → boundary(d) (valid while d <= m)
+        cand = jnp.where(flat == 0, jnp.where(d <= n, boundary(d), ident), cand)
+        cand = jnp.where(flat == d, jnp.where(d <= m, boundary(d), ident), cand)
+        # out-of-range cells: i > min(d, m) or i < d - n
+        valid = (flat <= jnp.minimum(d, m)) & (flat >= jnp.maximum(d - n, 0))
+        cand = jnp.where(valid, cand, ident)
+        if is_local:
+            vmask = valid & (flat >= 1) & (flat <= m) & (d - flat >= 1)
+            masked = jnp.where(vmask, cand, ident)
+            red = jnp.min(masked) if is_min else jnp.max(masked)
+            best = opt(best, red.reshape(1, 1))
+        # advance the b shift register: T'[i] = b[d-i] = Tshift; T'[0] = b[d].
+        # Scalar VMEM loads need lane alignment → load the whole row and
+        # reduce out the wanted lane.
+        Ts = _flat_shift_down(T, interpret)
+        row = b_ref[pl.ds(jnp.minimum(d // LANES, rows - 1), 1), :]  # (1, 128)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        bd = jnp.sum(jnp.where(lane_iota == d % LANES, row, 0))
+        bd = jnp.where(d < n, bd, jnp.int32(-1))
+        T = jnp.where(flat == 0, bd, Ts)
+        return cand, D1, T, best
+
+    D1, D2, T, best = jax.lax.fori_loop(2, m + n + 1, step, (D1, D2, T0, best0))
+    if is_local:
+        out_ref[0, 0] = best[0, 0]
+    else:
+        # D[m+n][m] lives at flat index m of the final diagonal (callers
+        # guarantee m, n >= 1 so the loop ran at least once)
+        out_ref[0, 0] = jnp.sum(jnp.where(flat == m, D1, 0))
+
+
+@functools.lru_cache(maxsize=64)
+def _build(objective: str, locality: str, rows: int, interpret: bool):
+    kernel = functools.partial(_kernel, objective, locality, rows, interpret)
+
+    def wrapped(a2d, b2d, mn, costs):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            interpret=interpret,
+        )(a2d, b2d, mn, costs)
+
+    return jax.jit(wrapped)
+
+
+def wavefront_score(
+    a: np.ndarray,  # uint8/int32 chars of the first string
+    b: np.ndarray,
+    match: int = 0,
+    mismatch: int = 1,
+    gap: int = 1,
+    objective: str = "min",
+    locality: str = "global",
+) -> int:
+    """Score ONE (possibly huge) pair with the anti-diagonal wavefront.
+    Uniform substitution costs, linear gaps."""
+    a = np.asarray(a).astype(np.int32)
+    b = np.asarray(b).astype(np.int32)
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        if locality == "local":
+            return 0
+        return (m + n) * gap
+    flat = max(m + 1, n)
+    if flat > MAX_FLAT_CELLS:
+        raise ValueError(f"pair too long for single-chip wavefront ({flat} cells)")
+    rows = max(-(-flat // LANES), 8)
+    rows = -(-rows // 8) * 8
+
+    def pack(x):
+        buf = np.full(rows * LANES, -2, dtype=np.int32)  # -2 ≠ pad of T (-1)
+        buf[: len(x)] = x
+        return buf.reshape(rows, LANES)
+
+    mn = np.array([[m, n]], dtype=np.int32)
+    costs = np.array([[match, mismatch, gap]], dtype=np.int32)
+    call = _build(objective, locality, rows, platform.pallas_interpret())
+    out = call(jnp.asarray(pack(a)), jnp.asarray(pack(b)),
+               jnp.asarray(mn), jnp.asarray(costs))
+    return int(out[0, 0])
