@@ -30,8 +30,8 @@ import numpy as np
 
 def main():
     seed = int(os.environ.get("STRINGWARS_SEED", "42"))
-    n_queries = int(os.environ.get("STRINGWARS_QUERIES", "64"))
-    n_cands = int(os.environ.get("STRINGWARS_CANDS", "8192"))
+    n_queries = int(os.environ.get("STRINGWARS_QUERIES", "512"))
+    n_cands = int(os.environ.get("STRINGWARS_CANDS", "131072"))
     mean_len = int(os.environ.get("STRINGWARS_LEN", "100"))
     duration = float(os.environ.get("STRINGWARS_DURATION", "10"))
 
@@ -40,8 +40,10 @@ def main():
     from stringzilla_tpu.ops.myers_pallas import myers_pallas
 
     rng = np.random.default_rng(seed)
-    rows = max(32, -(-int(mean_len * 1.3) // 32) * 32)
-    cand_len = max(8, -(-int(mean_len * 1.3) // 8) * 8)
+    # Length cap at 1.28x the mean (≈ mean + 2.2σ) keeps the Myers word
+    # count minimal: mean 100 → 128 chars → 4 words per lane.
+    rows = max(32, -(-int(mean_len * 1.28) // 32) * 32)
+    cand_len = max(8, -(-int(mean_len * 1.28) // 8) * 8)
 
     def make_batch(count, maxlen):
         lens = np.clip(rng.normal(mean_len, mean_len / 8, count).astype(np.int32),
