@@ -15,8 +15,8 @@ Prints exactly one JSON line:
 
 Env knobs (reference's STRINGWARS_* protocol, ``bench/similarities.cpp:16-31``):
     STRINGWARS_SEED     RNG seed                     (default 42)
-    STRINGWARS_QUERIES  number of queries            (default 64)
-    STRINGWARS_CANDS    number of candidates         (default 8192)
+    STRINGWARS_QUERIES  number of queries            (default 512)
+    STRINGWARS_CANDS    number of candidates         (default 131072)
     STRINGWARS_LEN      mean string length           (default 100)
     STRINGWARS_DURATION target seconds of timed work (default 10)
 """
