@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Secondary benchmark suite — one JSON line per metric, mirroring the
+reference's ``bench/`` binaries and the BASELINE.md rows:
+
+* ``find``        — first-match substring search GB/s over a 1 GiB corpus
+                    (reference ``bench/find.cpp``; AVX-512 baseline 10.6 GB/s)
+* ``rfind_byteset`` — last-of-set GB/s (baselines 0.43 / 4.4 GB/s)
+* ``lookup``      — 256-LUT transform GB/s (baselines 21.2 / 7.9 GB/s)
+* ``fill_random`` — AES-CTR PRNG GB/s (baselines 0.056 / 0.678 GB/s)
+* ``hash_tokens`` — sz_hash over ~8-byte words, Mtokens/s (``bench/token.cpp``)
+* ``argsort``     — ~1M word argsort seconds (baselines 1.91 / 0.92 s)
+* ``levenshtein`` — the headline GCUPS (same as ../bench.py)
+* ``wavefront``   — single 100K-pair GCUPS (intra-pair tier)
+
+Usage: python benches/bench_all.py [filter-substring]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+DURATION = 4.0
+
+
+def timed(fn, *args):
+    fn(*args)  # compile/warm
+    iters, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < DURATION:
+        fn(*args)
+        iters += 1
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
+                      "vs_baseline": round(value / baseline, 2)}))
+
+
+def bench_find(rng):
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.find_pallas import search_positions
+
+    N = 1 << 30
+    hay = rng.integers(97, 123, N, dtype=np.uint8)
+    hay[N - 4096 : N - 4091] = np.frombuffer(b"XqZwV", np.uint8)
+    H = jnp.asarray(hay.reshape(-1, 128))
+    needle = np.frombuffer(b"XqZwV", np.uint8)
+    dt = timed(lambda: search_positions(H, N, "first", needle=needle).block_until_ready())
+    emit("substring_find", N / dt / 1e9, "GB/s", 10.6)
+    from stringzilla_tpu.ops.find import byteset_mask
+
+    ws = byteset_mask(b" \t\n\r\x0b\x0c")
+    dt = timed(lambda: search_positions(H, N, "last", byteset_words=ws).block_until_ready())
+    emit("rfind_byteset", N / dt / 1e9, "GB/s", 0.43)
+
+
+def bench_lookup(rng):
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.memory_pallas import lookup_transform
+
+    N = 1 << 28
+    data = jnp.asarray(rng.integers(0, 256, N, dtype=np.uint8).reshape(-1, 128))
+    lut = np.frombuffer(bytes(range(256)).swapcase(), np.uint8)
+    dt = timed(lambda: lookup_transform(data, N, lut).block_until_ready())
+    emit("lookup_transform", N / dt / 1e9, "GB/s", 21.2)
+
+
+def bench_fill_random(rng):
+    from stringzilla_tpu.ops.aes_pallas import fill_random_device
+
+    N = 1 << 28
+    dt = timed(lambda: fill_random_device(N, 42).block_until_ready())
+    emit("fill_random", N / dt / 1e9, "GB/s", 0.0562)
+
+
+def bench_hash_tokens(rng):
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.hash_pallas import hash_tokens_raw
+    from stringzilla_tpu.utils import native
+
+    N = 1 << 20
+    lens = rng.integers(4, 13, N)
+    blob = rng.integers(97, 123, int(lens.sum()), dtype=np.uint8)
+    offsets = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data2d, lengths = native.pack_i32(blob, offsets, None, N, 16,
+                                      transpose=True, fill=0)
+    d, l = jnp.asarray(data2d), jnp.asarray(lengths)
+    dt = timed(lambda: hash_tokens_raw(d, l, 0, 1).block_until_ready())
+    emit("hash_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
+
+
+def bench_argsort(rng):
+    from stringzilla_tpu.ops.sort import argsort_strings
+
+    words = [bytes(rng.integers(97, 123, rng.integers(2, 12)).astype(np.uint8))
+             for _ in range(1_000_000)]
+    t0 = time.perf_counter()
+    argsort_strings(words)
+    dt = time.perf_counter() - t0
+    # baseline is seconds (lower better) → report speedup as baseline/ours
+    print(json.dumps({"metric": "argsort_1M_words", "value": round(dt, 3),
+                      "unit": "s", "vs_baseline": round(1.91 / dt, 2)}))
+
+
+def bench_levenshtein(rng):
+    import subprocess
+    import os
+    env = dict(os.environ, STRINGWARS_DURATION="4")
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                         text=True, env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    print(out.stdout.strip().splitlines()[-1])
+
+
+def bench_wavefront(rng):
+    from stringzilla_tpu.ops.wavefront_pallas import wavefront_score
+
+    m = 100_000
+    a = rng.integers(97, 123, m).astype(np.uint8)
+    b = a.copy()
+    b[rng.choice(m, 500, replace=False)] ^= 1
+    dt = timed(lambda: wavefront_score(a, b))
+    emit("wavefront_long_pair", m * m / dt / 1e9, "GCUPS", 3.434)
+
+
+BENCHES = {
+    "find": bench_find,
+    "lookup": bench_lookup,
+    "fill_random": bench_fill_random,
+    "hash_tokens": bench_hash_tokens,
+    "argsort": bench_argsort,
+    "levenshtein": bench_levenshtein,
+    "wavefront": bench_wavefront,
+}
+
+
+def main():
+    filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    rng = np.random.default_rng(42)
+    for name, fn in BENCHES.items():
+        if filt and filt not in name:
+            continue
+        try:
+            fn(rng)
+        except Exception as e:  # keep going; report the failure
+            print(json.dumps({"metric": name, "error": str(e)[:200]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -439,6 +439,17 @@ class Strs:
         """Sorted copy of the collection (binding ``Strs.sort``)."""
         return self._take(self.order(reverse=reverse))
 
+    def hashes(self, seed: int = 0) -> np.ndarray:
+        """Per-string 64-bit StringZilla hashes, bit-identical to
+        ``sz_hash``. Device-batched for large collections (the
+        ``bench/token.cpp`` workload); vectorized host AES otherwise."""
+        items = self.to_list()
+        if len(items) >= (1 << 14) and not platform.pallas_interpret():
+            from ..ops.hash_pallas import hash_batch_device
+
+            return hash_batch_device(items, seed)
+        return _hash_ops.hash_batch(items, seed)
+
     def sample(self, count: int, seed: int | None = None) -> "Strs":
         rng = np.random.default_rng(seed)
         idx = rng.integers(0, len(self), size=count)

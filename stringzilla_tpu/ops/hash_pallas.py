@@ -1,0 +1,239 @@
+"""Batched ``sz_hash`` on TPU — thousands of tokens per AES step.
+
+The reference hashes one string per call with AES-NI (reference
+``hash/serial.h:506-599``; throughput numbers in ``bench/token.cpp``). The
+TPU path hashes a whole collection at once: tokens are bucketed by 16-byte
+block count (1..4 for the ≤64 B short path — the overwhelming majority of
+tokens), packed bytes-down-sublanes / tokens-across-lanes ``(16·B, lanes)``,
+and every AES round advances every lane together:
+
+* AESENC with the select-ladder S-box; every fixed byte permutation
+  (ShiftRows routing, MixColumns rotations, the sum lane's shuffle) lowers
+  to sublane rolls + row selects (single-row vector slices crash Mosaic's
+  layout pass);
+* the sum lane's u64 addition is a byte-wise add with a 7-pass ripple
+  carry, masked at u64 boundaries;
+* the length-dependent final key is built lane-wise from the runtime length
+  vector.
+
+Outputs are bit-identical to ``ops.hash.sz_hash`` for every length/seed.
+Strings over 64 B take the host path (rare for token workloads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import native, platform
+from .aes_pallas import _SBOX_WORDS
+from .hash import PI, SHUFFLE, sz_hash
+
+__all__ = ["hash_tokens_device", "hash_tokens_raw", "hash_batch_device"]
+
+LANES_BLOCK = 1024
+INT_MIN = -(1 << 31)
+
+
+def _uless(a, b):
+    """Unsigned a < b on int32 (sign-flip trick)."""
+    return (a ^ INT_MIN) < (b ^ INT_MIN)
+
+
+def _row_roll(X: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
+    """Circular roll along the 16-row axis; out[p] = X[(p + shift) % 16]."""
+    s = shift % 16
+    if s == 0:
+        return X
+    if interpret:
+        return jnp.roll(X, -s, axis=0)
+    return pltpu.roll(X, 16 - s, axis=0)
+
+
+def _permute16(X: jnp.ndarray, perm, rows, interpret: bool) -> jnp.ndarray:
+    """Fixed 16-row permutation out[p] = X[perm[p]] as rolls + row selects —
+    single-row vector slices crash Mosaic's layout pass, rolls don't."""
+    by_shift: dict[int, list[int]] = {}
+    for p, s in enumerate(perm):
+        by_shift.setdefault((int(s) - p) % 16, []).append(p)
+    out = jnp.zeros(X.shape, X.dtype)
+    for shift, ps in by_shift.items():
+        rolled = _row_roll(X, shift, interpret)
+        mask = jnp.zeros(X.shape, jnp.bool_)
+        for p in ps:
+            mask = mask | (rows == p)
+        out = jnp.where(mask, rolled, out)
+    return out
+
+
+def _sub_bytes(x: jnp.ndarray, sbox_ref) -> jnp.ndarray:
+    word = jnp.zeros(x.shape, jnp.int32)
+    for w in range(64):
+        word = jnp.where((x >> 2) == w, sbox_ref[0, w], word)
+    return (word >> ((x & 3) << 3)) & 0xFF
+
+
+_SHIFTROWS = [(5 * p) % 16 for p in range(16)]
+_ROT1 = [p - (p & 3) + ((p + 1) & 3) for p in range(16)]
+_ROT2 = [p - (p & 3) + ((p + 2) & 3) for p in range(16)]
+
+
+def _aesenc16(state, key, sbox_ref, rows, interpret):
+    """AESENC on (16, L) byte planes — same math as ``ops.hash.aesenc``."""
+    shifted = _permute16(_sub_bytes(state, sbox_ref), _SHIFTROWS, rows, interpret)
+    rot = _permute16(shifted, _ROT1, rows, interpret)
+    grp = shifted ^ rot
+    two = _permute16(grp, _ROT2, rows, interpret)
+    xor_all = grp ^ two
+    dbl = ((grp << 1) ^ (((grp >> 7) & 1) * 0x1B)) & 0xFF
+    return (shifted ^ xor_all ^ dbl) ^ key
+
+
+def _add_u64_bytes(A, B, rows, interpret):
+    """(16, L) + (16, L) as two little-endian u64 lanes (rows 0-7, 8-15):
+    byte-wise add + ripple carry (7 passes bound the carry distance)."""
+    s = A + B
+    head = (rows & 7) == 0  # carries do not cross u64 boundaries
+    for _ in range(7):
+        carry = (s >> 8) & 1
+        carry_in = _row_roll(carry, -1, interpret)  # carry_in[p] = carry[p-1]
+        carry_in = jnp.where(head, 0, carry_in)
+        s = (s & 0xFF) + carry_in
+    return s & 0xFF
+
+
+def _sum_update16(summ, data, rows, interpret):
+    """shuffle(sum) + data (``hash/serial.h:299-302``)."""
+    return _add_u64_bytes(_permute16(summ, SHUFFLE, rows, interpret),
+                          data, rows, interpret)
+
+
+def _kernel(n_blocks: int, interpret: bool, refs):
+    data_ref, len_ref, seed_ref, sbox_ref, pi_ref, out_ref = refs
+    L = len_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (16, L), 0)
+
+    def seeded(col):
+        # (16, L) byte plane of seed ^ PI pair, precomputed host-side as the
+        # (16, 2) pi_ref: column 0 = aes pair, column 1 = sum pair.
+        return jnp.broadcast_to(pi_ref[:, col : col + 1], (16, L)).astype(jnp.int32)
+
+    aes = seeded(0)
+    summ = seeded(1)
+    for b in range(n_blocks):
+        block = data_ref[b * 16 : (b + 1) * 16, :]
+        aes = _aesenc16(aes, block, sbox_ref, rows, interpret)
+        summ = _sum_update16(summ, block, rows, interpret)
+
+    # key_with_length byte plane: u64 lanes (seed + len, seed), built
+    # elementwise (row iota selects which 32-bit word / byte each row takes).
+    seed_lo = seed_ref[0, 0]
+    seed_hi = seed_ref[0, 1]
+    ln = len_ref[...]  # (1, L)
+    kw_lo = seed_lo + ln
+    kw_carry = _uless(kw_lo, jnp.broadcast_to(seed_lo, kw_lo.shape)).astype(jnp.int32)
+    kw_hi = seed_hi + kw_carry
+    word = jnp.where(rows < 4, kw_lo,
+            jnp.where(rows < 8, kw_hi,
+             jnp.where(rows < 12, seed_lo, seed_hi)))
+    kwl = (word >> ((rows & 3) << 3)) & 0xFF
+
+    mixed = _aesenc16(summ, aes, sbox_ref, rows, interpret)
+    result = _aesenc16(_aesenc16(mixed, kwl, sbox_ref, rows, interpret),
+                       mixed, sbox_ref, rows, interpret)
+    out_ref[...] = result
+
+
+@functools.lru_cache(maxsize=32)
+def _build(n_blocks: int, n_lanes: int, interpret: bool):
+    grid = (n_lanes // LANES_BLOCK,)
+    kernel = functools.partial(_kernel, n_blocks, interpret)
+
+    def wrapped(data, lens, seed, sbox, pib):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((16 * n_blocks, LANES_BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((16, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, LANES_BLOCK), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, n_lanes), jnp.int32),
+            interpret=interpret,
+        )(data, lens, seed, sbox, pib)
+
+    return jax.jit(wrapped)
+
+
+def hash_tokens_raw(data2d, lengths, seed: int, n_blocks: int):
+    """Device-resident variant: jnp in (already padded to LANES_BLOCK),
+    (16, n) int32 byte planes out — no host transfer, for benching/pipelines."""
+    seed_arr = np.array([[seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF]],
+                        dtype=np.uint32).view(np.int32)
+    with np.errstate(over="ignore"):
+        aes_pair = (np.uint64(seed) ^ PI[0:2]).astype("<u8").view(np.uint8)
+        sum_pair = (np.uint64(seed) ^ PI[8:10]).astype("<u8").view(np.uint8)
+    pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)
+    call = _build(n_blocks, int(data2d.shape[1]), platform.pallas_interpret())
+    return call(data2d, lengths.reshape(1, -1), jnp.asarray(seed_arr),
+                jnp.asarray(_SBOX_WORDS.reshape(1, 64)), jnp.asarray(pib))
+
+
+def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
+                       n_blocks: int) -> np.ndarray:
+    """Hash one bucket: ``data2d`` is ``(16*n_blocks, n) int32`` zero-padded
+    token bytes (tokens across lanes), ``lengths (n,)``. Returns u64[n]."""
+    n = data2d.shape[1]
+    total = max(-(-n // LANES_BLOCK), 1) * LANES_BLOCK
+    if total != n:
+        pad = np.zeros((data2d.shape[0], total - n), dtype=np.int32)
+        data2d = np.concatenate([data2d, pad], axis=1)
+        lengths = np.concatenate([lengths, np.zeros(total - n, np.int32)])
+    seed_arr = np.array([[seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF]],
+                        dtype=np.uint32).view(np.int32)
+    with np.errstate(over="ignore"):
+        aes_pair = (np.uint64(seed) ^ PI[0:2]).astype("<u8").view(np.uint8)
+        sum_pair = (np.uint64(seed) ^ PI[8:10]).astype("<u8").view(np.uint8)
+    pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)  # (16, 2)
+    call = _build(n_blocks, total, platform.pallas_interpret())
+    out = np.asarray(call(jnp.asarray(data2d), jnp.asarray(lengths).reshape(1, -1),
+                          jnp.asarray(seed_arr), jnp.asarray(_SBOX_WORDS.reshape(1, 64)),
+                          jnp.asarray(pib)))
+    # out is (16, n) byte planes; the digest is the first 8 bytes LE
+    b = out[:8, :n].astype(np.uint64)
+    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+    return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
+
+
+def hash_batch_device(items, seed: int = 0) -> np.ndarray:
+    """Device-batched ``sz_hash`` over a collection (bit-identical). Tokens
+    ≤ 64 B run on the TPU bucketed by block count; longer strings fall back
+    to the host path."""
+    items = [bytes(s) for s in items]
+    out = np.zeros(len(items), dtype=np.uint64)
+    groups: dict[int, list[int]] = {}
+    for i, s in enumerate(items):
+        if len(s) <= 64:
+            groups.setdefault(max(1, -(-len(s) // 16)), []).append(i)
+        else:
+            out[i] = sz_hash(s, seed)
+    for n_blocks, idx in groups.items():
+        lens = np.fromiter((len(items[i]) for i in idx), dtype=np.int64,
+                           count=len(idx))
+        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        blob = np.frombuffer(b"".join(items[i] for i in idx), dtype=np.uint8)
+        data2d, lengths = native.pack_i32(blob, offsets, None, len(idx),
+                                          16 * n_blocks, transpose=True, fill=0)
+        out[np.asarray(idx)] = hash_tokens_device(data2d, lengths, seed, n_blocks)
+    return out

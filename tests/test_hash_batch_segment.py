@@ -63,3 +63,14 @@ def test_linebreaks():
     assert 1 not in lb  # no break inside a word
     assert len(utf8_linebreaks("日本語テスト".encode())) >= 4
     assert utf8_linebreaks(b"a\nb")[0] == 2  # mandatory after LF
+
+
+def test_hash_batch_device_kernel(rng):
+    """The Pallas token-hash kernel (interpreted here) is bit-identical."""
+    from stringzilla_tpu.ops.hash_pallas import hash_batch_device
+
+    items = [bytes(rng.integers(0, 256, int(rng.integers(0, 65))).astype(np.uint8))
+             for _ in range(100)]
+    got = hash_batch_device(items, 42)
+    for i, s in enumerate(items):
+        assert got[i] == sz_hash(s, 42)
