@@ -99,24 +99,42 @@ def _kernel(mode: str, kind: str, offsets: tuple, interpret: bool, refs):
 
     @pl.when(run)
     def _():
+        # int32 compares (Mosaic's packed-i8 compare path miscompiles); the
+        # position arithmetic + reduction only run for blocks that hit.
         Y = jnp.concatenate([main_ref[...], halo_ref[...]], axis=0).astype(jnp.int32)
         if kind == "needle":
             mask = _match_mask_block(Y, param_ref, offsets, BLOCK_ROWS, interpret)
         else:
             mask = _byteset_mask_block(Y, param_ref, BLOCK_ROWS)
-        base = i * (BLOCK_ROWS * LANES)
-        pos = (jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0) * LANES
-               + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)) + base
-        # bounds: [lo, hi] inclusive window of valid start positions.
-        valid = mask & (pos >= bounds_ref[0, 0]) & (pos <= bounds_ref[0, 1])
+
+        def reduce_hits():
+            base = i * (BLOCK_ROWS * LANES)
+            pos = (jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0) * LANES
+                   + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)) + base
+            # bounds: [lo, hi] inclusive window of valid start positions.
+            valid = mask & (pos >= bounds_ref[0, 0]) & (pos <= bounds_ref[0, 1])
+            if mode == "first":
+                local = jnp.min(jnp.where(valid, pos, jnp.int32(BIG)))
+                out_ref[0, 0] = jnp.minimum(out_ref[0, 0], local)
+            elif mode == "last":
+                local = jnp.max(jnp.where(valid, pos, jnp.int32(-1)))
+                out_ref[0, 0] = jnp.maximum(out_ref[0, 0], local)
+            else:
+                out_ref[0, 0] = out_ref[0, 0] + jnp.sum(valid.astype(jnp.int32))
+
         if mode == "first":
-            local = jnp.min(jnp.where(valid, pos, jnp.int32(BIG)))
-            out_ref[0, 0] = jnp.minimum(out_ref[0, 0], local)
-        elif mode == "last":
-            local = jnp.max(jnp.where(valid, pos, jnp.int32(-1)))
-            out_ref[0, 0] = jnp.maximum(out_ref[0, 0], local)
+            # the SMEM accumulator already skips post-match blocks; gating
+            # would just add a redundant reduction on the pre-match scan
+            reduce_hits()
         else:
-            out_ref[0, 0] = out_ref[0, 0] + jnp.sum(valid.astype(jnp.int32))
+            # last/count must scan every block — skip the positional work for
+            # the (typical) hitless blocks. jnp.any on an i1 mask trips a
+            # Mosaic relayout bug; an integer sum reduces fine.
+            hit = jnp.sum(mask.astype(jnp.int32)) > 0
+
+            @pl.when(hit)
+            def _():
+                reduce_hits()
 
 
 @functools.lru_cache(maxsize=512)
