@@ -82,7 +82,7 @@ class Fingerprints:
     def __call__(self, texts, device: DeviceScope | None = None,
                  out=None) -> tuple[np.ndarray, np.ndarray]:
         scope = device or default_device_scope()
-        del scope  # single-kernel path; sharding handled by caller-level pjit
+        ndev = scope.device_count
         docs = _as_byte_arrays(texts)
         n = len(docs)
         min_hashes = np.full((n, self.ndim), 0xFFFFFFFF, dtype=np.uint32)
@@ -94,7 +94,7 @@ class Fingerprints:
         sizes = np.array([_dyadic(x) for x in lens], dtype=np.int64)
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
-            count = round_up(len(idx), 128)
+            count = round_up(len(idx), 128 * ndev)
             docs_t = np.zeros((int(bucket), count), dtype=np.int32)
             blens = np.zeros((1, count), dtype=np.int32)
             for lane, i in enumerate(idx):
@@ -103,10 +103,19 @@ class Fingerprints:
                 blens[0, lane] = len(d)
             docs_j, lens_j = jnp.asarray(docs_t), jnp.asarray(blens)
             for grp in self._groups:
-                h, c = fingerprint_width_group(
-                    docs_j, lens_j, grp["width"], grp["mult"], grp["m_limbs"],
-                    grp["fd_limbs"], grp["inv_m"],
-                )
+                if ndev > 1:
+                    from ..parallel.cross import sharded_fingerprints
+
+                    h, c = sharded_fingerprints(
+                        docs_j, lens_j, grp["width"], grp["mult"],
+                        grp["m_limbs"], grp["fd_limbs"], grp["inv_m"],
+                        scope.mesh,
+                    )
+                else:
+                    h, c = fingerprint_width_group(
+                        docs_j, lens_j, grp["width"], grp["mult"], grp["m_limbs"],
+                        grp["fd_limbs"], grp["inv_m"],
+                    )
                 h = np.asarray(h).view(np.uint32)
                 c = np.asarray(c).view(np.uint32)
                 g = len(grp["dim_idx"])

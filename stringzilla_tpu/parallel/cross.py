@@ -65,3 +65,24 @@ def sharded_similarity(
     )
     args = (q_ext_t, qlens, cands_t, clens) + ((table,) if has_table else ())
     return fn(*args)
+
+
+def sharded_fingerprints(docs_t, lens, width: int, mult, m_limbs, fd_limbs,
+                         inv_m, mesh: Mesh, lane_block: int = 128):
+    """Document-sharded MinHash fingerprints: the dimension parameters are
+    replicated, documents and outputs split along ``data`` — the analog of
+    the reference's docs×dim-groups thread fan-out
+    (``floating_rolling_hashers_in_parallel_``, ``fingerprints/serial.hpp:994``)."""
+    from ..ops.fingerprints_pallas import fingerprint_width_group
+
+    def run(d, l, mu, ml, fl, im):
+        return fingerprint_width_group(d, l, width, mu, ml, fl, im,
+                                       lane_block=lane_block)
+
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data"), P(None, None),
+                  P(None, None, None), P(None, None, None), P(None, None)),
+        out_specs=(P(None, "data"), P(None, "data")), check_vma=False,
+    )
+    return fn(docs_t, lens, mult, m_limbs, fd_limbs, inv_m)
