@@ -16,10 +16,13 @@ Usage: python benches/bench_all.py [filter-substring]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DURATION = 4.0
 
@@ -110,7 +113,6 @@ def bench_argsort(rng):
 
 def bench_levenshtein(rng):
     import subprocess
-    import os
     env = dict(os.environ, STRINGWARS_DURATION="4")
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                          text=True, env=env, cwd=os.path.dirname(os.path.dirname(
