@@ -21,7 +21,7 @@ and scattered into the result matrix.
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import numpy as np
 import jax.numpy as jnp

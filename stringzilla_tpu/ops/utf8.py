@@ -18,7 +18,6 @@ word/sentence/line segmentation land in a later round.
 
 from __future__ import annotations
 
-import sys
 import unicodedata
 from functools import lru_cache
 

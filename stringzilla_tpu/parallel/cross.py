@@ -10,7 +10,6 @@ all communication rides the ICI when results are gathered.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
