@@ -26,6 +26,8 @@ from .models.similarities import (
 )
 from .ops import find as _find
 from .ops.hash import Hasher, Sha256, bytesum, fill_random, hash_multiseed, hmac_sha256, sz_hash
+from .ops.compare import batch_equal, batch_order, equal
+from .ops.compare import order as compare_order
 from .ops.intersect import intersect
 from .ops.sort import argsort_strings
 from .ops import utf8 as _u
@@ -81,6 +83,10 @@ __all__ = [
     "hash",
     "hash_multiseed",
     "hmac_sha256",
+    "batch_equal",
+    "batch_order",
+    "compare_order",
+    "equal",
     "intersect",
     "rfind",
     "rfind_byteset",

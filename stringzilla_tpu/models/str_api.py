@@ -345,6 +345,28 @@ class Str:
     def sha256(self) -> bytes:
         return _hash_ops.Sha256(bytes(self)).digest()
 
+    # -- UTF-8 conveniences (full layer in ops.utf8 / ops.utf8_segment) -------
+
+    def utf8_count(self) -> int:
+        from ..ops.utf8 import utf8_count
+
+        return utf8_count(bytes(self))
+
+    def utf8_fold(self) -> "Str":
+        from ..ops.utf8 import utf8_fold
+
+        return Str(utf8_fold(bytes(self)))
+
+    def utf8_norm(self, form: str = "NFC") -> "Str":
+        from ..ops.utf8 import utf8_norm
+
+        return Str(utf8_norm(bytes(self), form))
+
+    def utf8_uncased_find(self, needle):
+        from ..ops.utf8 import utf8_uncased_find
+
+        return utf8_uncased_find(bytes(self), _needle_bytes(needle))
+
     # -- order ----------------------------------------------------------------
 
     def order(self, other) -> int:
