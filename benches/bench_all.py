@@ -9,6 +9,8 @@ reference's ``bench/`` binaries and the BASELINE.md rows:
 * ``fill_random`` — AES-CTR PRNG GB/s (baselines 0.056 / 0.678 GB/s)
 * ``hash_tokens`` — sz_hash over ~8-byte words, Mtokens/s (``bench/token.cpp``)
 * ``argsort``     — ~1M word argsort seconds (baselines 1.91 / 0.92 s)
+* ``nw_proteins`` — NW with 32x32 class costs over ~1K-aa sequences
+                    (``bench/similarities.cpp``; baselines 0.452 CPU / 9.02 H100 GCUPS)
 * ``levenshtein`` — the headline GCUPS (same as ../bench.py)
 * ``wavefront``   — single 100K-pair GCUPS (intra-pair tier)
 
@@ -120,6 +122,29 @@ def bench_levenshtein(rng):
     print(out.stdout.strip().splitlines()[-1])
 
 
+def bench_nw_proteins(rng):
+    import stringzilla_tpu as sz
+
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    b2c = np.zeros(256, dtype=np.uint8)
+    for i, ch in enumerate(aa):
+        b2c[ch] = i
+    table = rng.integers(-4, 6, (32, 32)).astype(np.int32)
+    table = ((table + table.T) // 2).astype(np.int32)
+    np.fill_diagonal(table, rng.integers(4, 10, 32))
+    eng = sz.NeedlemanWunschScores(byte_to_class=b2c,
+                                   class_substitution_costs=table,
+                                   open=-5, extend=-5)
+    qs = [rng.choice(aa, int(l)).tobytes()
+          for l in np.clip(rng.normal(1000, 100, 16).astype(int), 100, 1024)]
+    cl = np.clip(rng.normal(1000, 100, 512).astype(int), 100, 1024)
+    cs = [rng.choice(aa, int(l)).tobytes() for l in cl]
+    ql = np.array([len(q) for q in qs])
+    cells = float(np.outer(ql, np.array([len(c) for c in cs])).sum())
+    dt = timed(lambda: eng(qs, cs))
+    emit("needleman_wunsch_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
+
+
 def bench_wavefront(rng):
     from stringzilla_tpu.ops.wavefront_pallas import wavefront_score
 
@@ -138,6 +163,7 @@ BENCHES = {
     "hash_tokens": bench_hash_tokens,
     "argsort": bench_argsort,
     "levenshtein": bench_levenshtein,
+    "nw_proteins": bench_nw_proteins,
     "wavefront": bench_wavefront,
 }
 
