@@ -71,18 +71,19 @@ def _kernel(words: int, cand_len: int, refs):
 
     # Bit-packing matrices for the MXU: S_lo/S_hi[(w, i)] = 2^(i-32w) for the
     # low/high 16 bits of word w. One-hot-weighted matmuls pack the (rows,
-    # lanes) equality mask into (words, lanes) int32 words — f32 sums of
-    # distinct powers of two < 2^16 are exact, and the MXU does the packing
-    # ~4x faster than a VPU shift-add tree.
+    # lanes) equality mask into (words, lanes) int32 words. bf16 operands
+    # halve the vector traffic and stay exact: the entries are powers of two
+    # (exactly representable) and the MXU accumulates in f32
+    # (preferred_element_type), so sums of distinct powers < 2^16 are exact.
     wi = jax.lax.broadcasted_iota(jnp.int32, (words, rows), 0)
     ri = jax.lax.broadcasted_iota(jnp.int32, (words, rows), 1)
     rel = ri - wi * 32
     S_lo = jnp.where((rel >= 0) & (rel < 16),
                      jnp.left_shift(jnp.int32(1), jnp.clip(rel, 0, 15)),
-                     0).astype(jnp.float32)
+                     0).astype(jnp.bfloat16)
     S_hi = jnp.where((rel >= 16) & (rel < 32),
                      jnp.left_shift(jnp.int32(1), jnp.clip(rel - 16, 0, 15)),
-                     0).astype(jnp.float32)
+                     0).astype(jnp.bfloat16)
 
     # VP init: bits [0, m) set, per word: full words below m/32, partial at it.
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (words, lanes), 0)
@@ -103,7 +104,7 @@ def _kernel(words: int, cand_len: int, refs):
 
         # Eq: pack 32-row groups of (q == c) into int32 words via two MXU
         # matmuls. The padded query rows are -1 and never match a real char.
-        eqf = (q == c_row).astype(jnp.float32)  # (rows, lanes)
+        eqf = (q == c_row).astype(jnp.bfloat16)  # (rows, lanes)
         lo = jax.lax.dot_general(S_lo, eqf, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         hi = jax.lax.dot_general(S_hi, eqf, (((1,), (0,)), ((), ())),
