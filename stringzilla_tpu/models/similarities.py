@@ -152,18 +152,24 @@ class _CrossProductEngine:
 
     def _score_long_pairs(self, q_arrs, c_arrs, q_long, c_long, out):
         """Every pair touching a long string runs on the anti-diagonal
-        wavefront kernel (one kernel launch per pair — the intra-pair tier)."""
+        wavefront kernel (one kernel launch per pair — the intra-pair tier).
+        Class-cost engines pass the 32x32 table (inputs are already
+        class-mapped); uniform engines pass match/mismatch."""
         from ..ops.wavefront_pallas import wavefront_score
 
-        costs = self._cfg.costs
         gap = self._cfg.gaps.open_or_extend
+        if self._cfg.uses_classes:
+            kw = dict(table=self._cfg.costs.table_np())
+        else:
+            kw = dict(match=self._cfg.costs.match,
+                      mismatch=self._cfg.costs.mismatch)
         for i, q in enumerate(q_arrs):
             for j, c in enumerate(c_arrs):
                 if not (q_long[i] or c_long[j]):
                     continue
                 out[i, j] = wavefront_score(
-                    q, c, match=costs.match, mismatch=costs.mismatch, gap=gap,
-                    objective=self._cfg.objective, locality=self._cfg.locality)
+                    q, c, gap=gap, objective=self._cfg.objective,
+                    locality=self._cfg.locality, **kw)
 
     @property
     def config(self) -> SimilarityConfig:
@@ -202,9 +208,9 @@ class _CrossProductEngine:
         c_long = c_lens > _LONG_THRESHOLD
         has_long = bool(q_long.any() or c_long.any())
         if has_long:
-            if self._cfg.uses_classes or self._cfg.is_affine:
+            if self._cfg.is_affine:
                 raise NotImplementedError(
-                    "class-cost / affine scoring of pairs longer than "
+                    "affine-gap scoring of pairs longer than "
                     f"{_LONG_THRESHOLD} is not yet supported on this backend")
             self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out)
             if (~q_long).sum() == 0 or (~c_long).sum() == 0:

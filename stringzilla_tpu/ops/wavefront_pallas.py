@@ -56,8 +56,13 @@ def _flat_shift_down(X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     return jnp.where(col == 0, Zup, Z)
 
 
-def _kernel(objective: str, locality: str, rows: int, interpret: bool, refs):
-    a_ref, b_ref, mn_ref, costs_ref, out_ref = refs
+def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
+            interpret: bool, refs):
+    if use_classes:
+        a_ref, b_ref, mn_ref, costs_ref, planes_ref, out_ref = refs
+    else:
+        a_ref, b_ref, mn_ref, costs_ref, out_ref = refs
+        planes_ref = None
     m = mn_ref[0, 0]
     n = mn_ref[0, 1]
     match = costs_ref[0, 0]
@@ -79,6 +84,20 @@ def _kernel(objective: str, locality: str, rows: int, interpret: bool, refs):
     # qm1[i] = a[i-1]; row 0 unused (masked)
     qm1 = _flat_shift_down(a_ref[...], interpret)
 
+    if use_classes:
+        # Bit-sliced 32x32 substitution table (biased +128 host-side): the
+        # query's class is fixed per cell, so the 8 per-bit row masks
+        # RM_b[i] = bitplane_b[q_class[i]] are selected ONCE (32 selects per
+        # plane); each step then costs one variable shift + mask per bit:
+        # cost = sum_b ((RM_b >> c_class) & 1) << b - 128.
+        qc = jnp.clip(qm1, 0, 31)
+        row_masks = []
+        for bnum in range(8):
+            rm = jnp.zeros(shape, jnp.int32)
+            for cls in range(32):
+                rm = jnp.where(qc == cls, planes_ref[bnum, cls], rm)
+            row_masks.append(rm)
+
     # D2 = diag 0 (cell (0,0) = 0), D1 = diag 1 (cells (0,1),(1,0) = boundary)
     D2 = jnp.where(flat == 0, 0, ident)
     D1 = jnp.where(flat <= 1, boundary(jnp.int32(1)), ident)
@@ -93,7 +112,14 @@ def _kernel(objective: str, locality: str, rows: int, interpret: bool, refs):
         # substitution for cell (i, d-i): q[i-1] vs b[d-i-1] = T[i-1]... T is
         # aligned so that T[i] = b[d-1-i]; cell i uses b[d-i-1] = T[i-1]?
         # T[i-1] = b[d-1-(i-1)] = b[d-i]. We need b[d-i-1] = T[i]. Direct.
-        sub = jnp.where(qm1 == T, match, mismatch)
+        if use_classes:
+            tc = jnp.clip(T, 0, 31)
+            cost_u = jnp.zeros(shape, jnp.int32)
+            for bnum in range(8):
+                cost_u = cost_u | (((row_masks[bnum] >> tc) & 1) << bnum)
+            sub = cost_u - 128
+        else:
+            sub = jnp.where(qm1 == T, match, mismatch)
         D1s = _flat_shift_down(D1, interpret)
         D2s = _flat_shift_down(D2, interpret)
         cand = opt(D1 + gap, D1s + gap)
@@ -133,38 +159,59 @@ def _kernel(objective: str, locality: str, rows: int, interpret: bool, refs):
 
 
 @functools.lru_cache(maxsize=64)
-def _build(objective: str, locality: str, rows: int, interpret: bool):
-    kernel = functools.partial(_kernel, objective, locality, rows, interpret)
+def _build(objective: str, locality: str, rows: int, use_classes: bool,
+           interpret: bool):
+    kernel = functools.partial(_kernel, objective, locality, rows, use_classes,
+                               interpret)
+    in_specs = [
+        pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if use_classes:
+        in_specs.append(pl.BlockSpec((8, 32), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
 
-    def wrapped(a2d, b2d, mn, costs):
+    def wrapped(*args):
         return pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=(1,),
-            in_specs=[
-                pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
             interpret=interpret,
-        )(a2d, b2d, mn, costs)
+        )(*args)
 
     return jax.jit(wrapped)
 
 
+def table_bitplanes(table: np.ndarray) -> np.ndarray:
+    """Bit-slice a 32x32 signed cost table (biased +128) into 8 planes of
+    32-bit row masks: planes[b][row] bit c = bit b of (table[row, c] + 128)."""
+    t = np.asarray(table, dtype=np.int32) + 128
+    if t.min() < 0 or t.max() > 255:
+        raise ValueError("class costs must fit in int8")
+    planes = np.zeros((8, 32), dtype=np.int64)
+    for b in range(8):
+        bits = (t >> b) & 1  # (32, 32)
+        planes[b] = (bits << np.arange(32)[None, :]).sum(axis=1)
+    return (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
 def wavefront_score(
-    a: np.ndarray,  # uint8/int32 chars of the first string
+    a: np.ndarray,  # uint8/int32 chars (or class ids when `table` given)
     b: np.ndarray,
     match: int = 0,
     mismatch: int = 1,
     gap: int = 1,
     objective: str = "min",
     locality: str = "global",
+    table: np.ndarray | None = None,  # 32x32 class costs; a/b are class ids
 ) -> int:
     """Score ONE (possibly huge) pair with the anti-diagonal wavefront.
-    Uniform substitution costs, linear gaps."""
+    Uniform substitution costs — or a 32x32 class-cost table (NW/SW style)
+    with ``a``/``b`` pre-mapped to class ids. Linear gaps."""
     a = np.asarray(a).astype(np.int32)
     b = np.asarray(b).astype(np.int32)
     m, n = len(a), len(b)
@@ -185,7 +232,12 @@ def wavefront_score(
 
     mn = np.array([[m, n]], dtype=np.int32)
     costs = np.array([[match, mismatch, gap]], dtype=np.int32)
-    call = _build(objective, locality, rows, platform.pallas_interpret())
-    out = call(jnp.asarray(pack(a)), jnp.asarray(pack(b)),
-               jnp.asarray(mn), jnp.asarray(costs))
+    use_classes = table is not None
+    call = _build(objective, locality, rows, use_classes,
+                  platform.pallas_interpret())
+    args = [jnp.asarray(pack(a)), jnp.asarray(pack(b)),
+            jnp.asarray(mn), jnp.asarray(costs)]
+    if use_classes:
+        args.append(jnp.asarray(table_bitplanes(table).reshape(8, 32)))
+    out = call(*args)
     return int(out[0, 0])

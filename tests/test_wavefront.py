@@ -55,13 +55,38 @@ def test_engine_long_pair_routing(rng):
     assert out[1, 1] >= len(long1) - 4
 
 
-def test_engine_long_pair_classes_unsupported(rng):
+def test_wavefront_class_costs(rng):
+    from .oracles import score_linear
+
+    table = rng.integers(-8, 12, (32, 32)).astype(np.int32)
+    for _ in range(4):
+        a = rng.integers(0, 20, int(rng.integers(1, 120))).astype(np.int32)
+        b = rng.integers(0, 20, int(rng.integers(1, 120))).astype(np.int32)
+        got = wavefront_score(a, b, gap=-4, objective="max", table=table)
+        exp = score_linear(bytes(a.astype(np.uint8)), bytes(b.astype(np.uint8)),
+                           lambda x, y: int(table[x, y]), -4, objective="max")
+        assert got == exp
+
+
+def test_engine_long_pair_classes_and_affine_guard(rng):
     from stringzilla_tpu import NeedlemanWunschScores
     from stringzilla_tpu.models import similarities as S
+    from stringzilla_tpu.ops.wavefront_pallas import wavefront_score as wf
 
-    eng = NeedlemanWunschScores(
-        byte_to_class=np.arange(256) % 32,
-        class_substitution_costs=np.eye(32, dtype=np.int32))
-    long1 = bytes(rng.integers(97, 100, S._LONG_THRESHOLD + 1).astype(np.uint8))
+    b2c = (np.arange(256) % 20).astype(np.uint8)
+    table = rng.integers(-4, 8, (32, 32)).astype(np.int32)
+    eng = NeedlemanWunschScores(byte_to_class=b2c,
+                                class_substitution_costs=table,
+                                open=-3, extend=-3)
+    long1 = bytes(rng.integers(97, 105, S._LONG_THRESHOLD + 50).astype(np.uint8))
+    short = bytes(rng.integers(97, 105, 30).astype(np.uint8))
+    out = eng([short], [long1])
+    q = b2c[np.frombuffer(short, np.uint8)].astype(np.int32)
+    c = b2c[np.frombuffer(long1, np.uint8)].astype(np.int32)
+    assert out[0, 0] == wf(q, c, gap=-3, objective="max", table=table)
+    # affine long pairs still raise
+    aff = NeedlemanWunschScores(byte_to_class=b2c,
+                                class_substitution_costs=table,
+                                open=-5, extend=-1)
     with pytest.raises(NotImplementedError):
-        eng([long1], [b"abc"])
+        aff([long1], [short])
