@@ -157,11 +157,16 @@ class _CrossProductEngine:
         class-mapped); uniform engines pass match/mismatch."""
         from ..ops.wavefront_pallas import wavefront_score
 
-        gap = self._cfg.gaps.open_or_extend
-        if self._cfg.uses_classes:
-            kw = dict(table=self._cfg.costs.table_np())
+        if self._cfg.is_affine:
+            gap = self._cfg.gaps.open
+            kw = dict(extend=self._cfg.gaps.extend)
         else:
-            kw = dict(match=self._cfg.costs.match,
+            gap = self._cfg.gaps.open_or_extend
+            kw = {}
+        if self._cfg.uses_classes:
+            kw["table"] = self._cfg.costs.table_np()
+        else:
+            kw.update(match=self._cfg.costs.match,
                       mismatch=self._cfg.costs.mismatch)
         for i, q in enumerate(q_arrs):
             for j, c in enumerate(c_arrs):
@@ -208,10 +213,6 @@ class _CrossProductEngine:
         c_long = c_lens > _LONG_THRESHOLD
         has_long = bool(q_long.any() or c_long.any())
         if has_long:
-            if self._cfg.is_affine:
-                raise NotImplementedError(
-                    "affine-gap scoring of pairs longer than "
-                    f"{_LONG_THRESHOLD} is not yet supported on this backend")
             self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out)
             if (~q_long).sum() == 0 or (~c_long).sum() == 0:
                 return out

@@ -57,7 +57,7 @@ def _flat_shift_down(X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
 
 
 def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
-            interpret: bool, refs):
+            is_affine: bool, interpret: bool, refs):
     if use_classes:
         a_ref, b_ref, mn_ref, costs_ref, planes_ref, out_ref = refs
     else:
@@ -67,7 +67,8 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
     n = mn_ref[0, 1]
     match = costs_ref[0, 0]
     mismatch = costs_ref[0, 1]
-    gap = costs_ref[0, 2]
+    gap = costs_ref[0, 2]  # linear gap, or affine OPEN when is_affine
+    extend = costs_ref[0, 3]
 
     is_min = objective == "min"
     is_local = locality == "local"
@@ -79,7 +80,17 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
 
     def boundary(d):
-        return jnp.int32(0) if is_local else gap * d
+        if is_local:
+            return jnp.int32(0)
+        if is_affine:
+            # a k-gap costs open + extend*(k-1) (reference serial.hpp:77-88)
+            return jnp.where(d > 0, gap + extend * (d - 1), 0)
+        return gap * d
+
+    def boundary_gap(d):
+        # gap-matrix boundary: primary + open + extend (magnitude-padded
+        # discard, reference serial.hpp:1139-1146)
+        return boundary(d) + gap + extend
 
     # qm1[i] = a[i-1]; row 0 unused (masked)
     qm1 = _flat_shift_down(a_ref[...], interpret)
@@ -101,6 +112,8 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
     # D2 = diag 0 (cell (0,0) = 0), D1 = diag 1 (cells (0,1),(1,0) = boundary)
     D2 = jnp.where(flat == 0, 0, ident)
     D1 = jnp.where(flat <= 1, boundary(jnp.int32(1)), ident)
+    I1 = jnp.where(flat <= 1, boundary_gap(jnp.int32(1)), ident)  # horizontal gaps
+    J1 = jnp.where(flat <= 1, boundary_gap(jnp.int32(1)), ident)  # vertical gaps
     # Shift register entering step d=2: T[i] = b[d-1-i] → T[0]=b[1], T[1]=b[0]
     T0 = jnp.full(shape, -1, jnp.int32)
     T0 = jnp.where(flat == 1, b_ref[0, 0], T0)
@@ -108,7 +121,7 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
     best0 = jnp.zeros((1, 1), jnp.int32)
 
     def step(d, carry):
-        D1, D2, T, best = carry
+        D1, D2, I1, J1, T, best = carry
         # substitution for cell (i, d-i): q[i-1] vs b[d-i-1] = T[i-1]... T is
         # aligned so that T[i] = b[d-1-i]; cell i uses b[d-i-1] = T[i-1]?
         # T[i-1] = b[d-1-(i-1)] = b[d-i]. We need b[d-i-1] = T[i]. Direct.
@@ -122,17 +135,34 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
             sub = jnp.where(qm1 == T, match, mismatch)
         D1s = _flat_shift_down(D1, interpret)
         D2s = _flat_shift_down(D2, interpret)
-        cand = opt(D1 + gap, D1s + gap)
-        cand = opt(cand, D2s + sub)
+        if is_affine:
+            # Gotoh on diagonals: gap matrices only need diag d-1 values —
+            # no within-diagonal chain (reference 7-diagonal affine walker,
+            # serial.hpp:395-398, re-derived for 4 carried buffers).
+            I_new = opt(D1 + gap, I1 + extend)           # left neighbor (i)
+            J1s = _flat_shift_down(J1, interpret)
+            J_new = opt(D1s + gap, J1s + extend)         # up neighbor (i-1)
+            cand = opt(D2s + sub, opt(I_new, J_new))
+        else:
+            I_new = J_new = None
+            cand = opt(D1 + gap, D1s + gap)
+            cand = opt(cand, D2s + sub)
         if is_local:
             cand = opt(cand, 0)
         # boundaries: i == 0 → D[d][0] = boundary(d) (valid while d <= n);
         # i == d (j == 0) → boundary(d) (valid while d <= m)
-        cand = jnp.where(flat == 0, jnp.where(d <= n, boundary(d), ident), cand)
-        cand = jnp.where(flat == d, jnp.where(d <= m, boundary(d), ident), cand)
+        at_top = flat == 0
+        at_left = flat == d
+        cand = jnp.where(at_top, jnp.where(d <= n, boundary(d), ident), cand)
+        cand = jnp.where(at_left, jnp.where(d <= m, boundary(d), ident), cand)
         # out-of-range cells: i > min(d, m) or i < d - n
         valid = (flat <= jnp.minimum(d, m)) & (flat >= jnp.maximum(d - n, 0))
         cand = jnp.where(valid, cand, ident)
+        if is_affine:
+            I_new = jnp.where(at_top | at_left, boundary_gap(d), I_new)
+            J_new = jnp.where(at_top | at_left, boundary_gap(d), J_new)
+            I_new = jnp.where(valid, I_new, ident)
+            J_new = jnp.where(valid, J_new, ident)
         if is_local:
             vmask = valid & (flat >= 1) & (flat <= m) & (d - flat >= 1)
             masked = jnp.where(vmask, cand, ident)
@@ -147,9 +177,12 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
         bd = jnp.sum(jnp.where(lane_iota == d % LANES, row, 0))
         bd = jnp.where(d < n, bd, jnp.int32(-1))
         T = jnp.where(flat == 0, bd, Ts)
-        return cand, D1, T, best
+        if is_affine:
+            return cand, D1, I_new, J_new, T, best
+        return cand, D1, I1, J1, T, best
 
-    D1, D2, T, best = jax.lax.fori_loop(2, m + n + 1, step, (D1, D2, T0, best0))
+    D1, D2, I1, J1, T, best = jax.lax.fori_loop(
+        2, m + n + 1, step, (D1, D2, I1, J1, T0, best0))
     if is_local:
         out_ref[0, 0] = best[0, 0]
     else:
@@ -160,14 +193,14 @@ def _kernel(objective: str, locality: str, rows: int, use_classes: bool,
 
 @functools.lru_cache(maxsize=64)
 def _build(objective: str, locality: str, rows: int, use_classes: bool,
-           interpret: bool):
+           is_affine: bool, interpret: bool):
     kernel = functools.partial(_kernel, objective, locality, rows, use_classes,
-                               interpret)
+                               is_affine, interpret)
     in_specs = [
         pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     if use_classes:
         in_specs.append(pl.BlockSpec((8, 32), lambda i: (0, 0),
@@ -208,17 +241,23 @@ def wavefront_score(
     objective: str = "min",
     locality: str = "global",
     table: np.ndarray | None = None,  # 32x32 class costs; a/b are class ids
+    extend: int | None = None,  # affine: `gap` is OPEN, `extend` extends
 ) -> int:
     """Score ONE (possibly huge) pair with the anti-diagonal wavefront.
     Uniform substitution costs — or a 32x32 class-cost table (NW/SW style)
-    with ``a``/``b`` pre-mapped to class ids. Linear gaps."""
+    with ``a``/``b`` pre-mapped to class ids. Linear gaps, or Gotoh affine
+    when ``extend`` is given (k-gap costs ``gap + extend*(k-1)``)."""
     a = np.asarray(a).astype(np.int32)
     b = np.asarray(b).astype(np.int32)
     m, n = len(a), len(b)
+    is_affine = extend is not None
     if m == 0 or n == 0:
         if locality == "local":
             return 0
-        return (m + n) * gap
+        k = m + n
+        if is_affine:
+            return gap + extend * (k - 1) if k else 0
+        return k * gap
     flat = max(m + 1, n)
     if flat > MAX_FLAT_CELLS:
         raise ValueError(f"pair too long for single-chip wavefront ({flat} cells)")
@@ -231,9 +270,10 @@ def wavefront_score(
         return buf.reshape(rows, LANES)
 
     mn = np.array([[m, n]], dtype=np.int32)
-    costs = np.array([[match, mismatch, gap]], dtype=np.int32)
+    costs = np.array([[match, mismatch, gap,
+                       extend if is_affine else 0]], dtype=np.int32)
     use_classes = table is not None
-    call = _build(objective, locality, rows, use_classes,
+    call = _build(objective, locality, rows, use_classes, is_affine,
                   platform.pallas_interpret())
     args = [jnp.asarray(pack(a)), jnp.asarray(pack(b)),
             jnp.asarray(mn), jnp.asarray(costs)]

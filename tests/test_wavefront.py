@@ -84,9 +84,28 @@ def test_engine_long_pair_classes_and_affine_guard(rng):
     q = b2c[np.frombuffer(short, np.uint8)].astype(np.int32)
     c = b2c[np.frombuffer(long1, np.uint8)].astype(np.int32)
     assert out[0, 0] == wf(q, c, gap=-3, objective="max", table=table)
-    # affine long pairs still raise
+    # affine long pairs route to the Gotoh wavefront
     aff = NeedlemanWunschScores(byte_to_class=b2c,
                                 class_substitution_costs=table,
                                 open=-5, extend=-1)
-    with pytest.raises(NotImplementedError):
-        aff([long1], [short])
+    out2 = aff([short], [long1])
+    assert out2[0, 0] == wf(q, c, gap=-5, extend=-1, objective="max",
+                            table=table)
+
+
+def test_wavefront_affine(rng):
+    from .oracles import score_affine
+
+    table = rng.integers(-6, 10, (32, 32)).astype(np.int32)
+    for _ in range(3):
+        a = rng.integers(0, 20, int(rng.integers(1, 90))).astype(np.int32)
+        b = rng.integers(0, 20, int(rng.integers(1, 90))).astype(np.int32)
+        ab, bb = bytes(a.astype(np.uint8)), bytes(b.astype(np.uint8))
+        got = wavefront_score(a, b, match=0, mismatch=1, gap=3, extend=1,
+                              objective="min")
+        assert got == score_affine(ab, bb, lambda x, y: 0 if x == y else 1,
+                                   3, 1, objective="min")
+        got = wavefront_score(a, b, gap=-5, extend=-1, objective="max",
+                              locality="local", table=table)
+        assert got == score_affine(ab, bb, lambda x, y: int(table[x, y]),
+                                   -5, -1, objective="max", local=True)
