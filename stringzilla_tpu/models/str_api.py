@@ -461,6 +461,20 @@ class Strs:
         """Sorted copy of the collection (binding ``Strs.sort``)."""
         return self._take(self.order(reverse=reverse))
 
+    def append(self, item) -> "Strs":
+        """Append one string (binding ``Strs.append``). Rebuilds the backing
+        tape — O(total bytes), amortize with ``extend`` for bulk adds."""
+        return self.extend([item])
+
+    def extend(self, items) -> "Strs":
+        """Append many strings (binding ``Strs.extend``), in place."""
+        new = Tape.from_strings(self.to_list() + [
+            _needle_bytes(x) for x in items])
+        self._parent = Str(np.asarray(new.data))
+        self._starts = np.asarray(new.offsets[:-1], dtype=np.int64)
+        self._ends = np.asarray(new.offsets[1:], dtype=np.int64)
+        return self
+
     def hashes(self, seed: int = 0) -> np.ndarray:
         """Per-string 64-bit StringZilla hashes, bit-identical to
         ``sz_hash``. Device-batched for large collections (the

@@ -103,3 +103,15 @@ def test_file_mmap(tmp_path):
     empty = tmp_path / "empty.txt"
     empty.write_bytes(b"")
     assert len(File(str(empty))) == 0
+
+
+def test_strs_append_extend_and_hashes(rng):
+    c = Strs([b"a", b"b"])
+    c.append(b"c").extend(["d", b"e"])
+    assert c.to_list() == [b"a", b"b", b"c", b"d", b"e"]
+    from stringzilla_tpu.ops.hash import sz_hash
+
+    items = [bytes(rng.integers(0, 256, int(rng.integers(0, 40))).astype(np.uint8))
+             for _ in range(50)]
+    h = Strs(items).hashes(seed=3)
+    assert all(h[i] == sz_hash(s, 3) for i, s in enumerate(items))
