@@ -148,3 +148,81 @@ def fingerprint_oracle(doc: bytes, params) -> tuple[np.ndarray, np.ndarray]:
     ).astype(np.uint32)
     min_counts = np.where(alive, count, np.uint32(0)).astype(np.uint32)
     return min_hashes, min_counts
+
+
+# ---------------------------------------------------------------------------
+# Baseline rolling hashers (reference ``fingerprints/serial.hpp:56-263``) —
+# the reference keeps these as validation baselines for the production
+# floating hasher; same role here, vectorized numpy.
+# ---------------------------------------------------------------------------
+
+
+def multiplying_rolling_hash(doc: bytes, window: int, multiplier: int = 257,
+                             bits: int = 32) -> np.ndarray:
+    """Power-of-two-modulo polynomial roll (``multiplying_rolling_hasher``,
+    reference ``serial.hpp:56-95``): one hash per full window."""
+    data = np.frombuffer(doc, dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+    mask = np.uint64((1 << bits) - 1)
+    mult = np.uint64(multiplier)
+    with np.errstate(over="ignore"):
+        disc = np.uint64(pow(multiplier, window - 1, 1 << bits))
+        out = np.empty(n - window + 1, dtype=np.uint64)
+        state = np.uint64(0)
+        for t in range(window):
+            state = (state * mult + data[t] + np.uint64(1)) & mask
+        out[0] = state
+        for t in range(window, n):
+            state = ((state - disc * (data[t - window] + np.uint64(1))) * mult
+                     + data[t] + np.uint64(1)) & mask
+            out[t - window + 1] = state
+    return out
+
+
+def rabin_karp_rolling_hash(doc: bytes, window: int, multiplier: int = 257,
+                            modulo: int = MODULO_BASE) -> np.ndarray:
+    """Modular polynomial roll with a co-prime modulo
+    (``rabin_karp_rolling_hasher``, reference ``serial.hpp:109-188``)."""
+    data = np.frombuffer(doc, dtype=np.uint8).astype(object)
+    n = len(data)
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+    disc = pow(multiplier, window - 1, modulo)
+    out = np.empty(n - window + 1, dtype=np.uint64)
+    state = 0
+    for t in range(window):
+        state = (state * multiplier + int(data[t]) + 1) % modulo
+    out[0] = state
+    for t in range(window, n):
+        state = ((state - disc * (int(data[t - window]) + 1)) * multiplier
+                 + int(data[t]) + 1) % modulo
+        out[t - window + 1] = state
+    return out
+
+
+def buz_rolling_hash(doc: bytes, window: int, seed: int = 0) -> np.ndarray:
+    """BuzHash: rotate-XOR with a random byte table
+    (``buz_rolling_hasher``, reference ``serial.hpp:195-263``)."""
+    table = splitmix64(np.uint64(seed) + np.arange(256, dtype=np.uint64))
+    data = np.frombuffer(doc, dtype=np.uint8)
+    n = len(data)
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+
+    def rotl(x, k):
+        k = np.uint64(k % 64)
+        return (x << k | x >> (np.uint64(64) - k)) & np.uint64(0xFFFFFFFFFFFFFFFF) if k else x
+
+    with np.errstate(over="ignore"):
+        out = np.empty(n - window + 1, dtype=np.uint64)
+        state = np.uint64(0)
+        for t in range(window):
+            state = rotl(state, 1) ^ table[data[t]]
+        out[0] = state
+        for t in range(window, n):
+            state = (rotl(state, 1) ^ rotl(table[data[t - window]], window)
+                     ^ table[data[t]])
+            out[t - window + 1] = state
+    return out
