@@ -30,10 +30,19 @@ DURATION = 4.0
 
 
 def timed(fn, *args):
-    fn(*args)  # compile/warm
+    """Per-iteration sync by pulling ONE element of the result to host —
+    plain block_until_ready can overlap independent dispatches on tunneled
+    backends and inflate rates (see BENCH_NOTES.md)."""
+
+    def sync(x):
+        if hasattr(x, "ravel"):  # jax array
+            np.asarray(x.ravel()[0])
+        return x
+
+    sync(fn(*args))  # compile/warm
     iters, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < DURATION:
-        fn(*args)
+        sync(fn(*args))
         iters += 1
     return (time.perf_counter() - t0) / iters
 
@@ -53,12 +62,12 @@ def bench_find(rng):
     hay[N - 4096 : N - 4091] = np.frombuffer(b"XqZwV", np.uint8)
     H = jnp.asarray(hay.reshape(-1, 128))
     needle = np.frombuffer(b"XqZwV", np.uint8)
-    dt = timed(lambda: search_positions(H, N, "first", needle=needle).block_until_ready())
+    dt = timed(lambda: search_positions(H, N, "first", needle=needle))
     emit("substring_find", N / dt / 1e9, "GB/s", 10.6)
     from stringzilla_tpu.ops.find import byteset_mask
 
     ws = byteset_mask(b" \t\n\r\x0b\x0c")
-    dt = timed(lambda: search_positions(H, N, "last", byteset_words=ws).block_until_ready())
+    dt = timed(lambda: search_positions(H, N, "last", byteset_words=ws))
     emit("rfind_byteset", N / dt / 1e9, "GB/s", 0.43)
 
 
@@ -70,7 +79,7 @@ def bench_lookup(rng):
     N = 1 << 28
     data = jnp.asarray(rng.integers(0, 256, N, dtype=np.uint8).reshape(-1, 128))
     lut = np.frombuffer(bytes(range(256)).swapcase(), np.uint8)
-    dt = timed(lambda: lookup_transform(data, N, lut).block_until_ready())
+    dt = timed(lambda: lookup_transform(data, N, lut))
     emit("lookup_transform", N / dt / 1e9, "GB/s", 21.2)
 
 
@@ -78,7 +87,7 @@ def bench_fill_random(rng):
     from stringzilla_tpu.ops.aes_pallas import fill_random_device
 
     N = 1 << 28
-    dt = timed(lambda: fill_random_device(N, 42).block_until_ready())
+    dt = timed(lambda: fill_random_device(N, 42))
     emit("fill_random", N / dt / 1e9, "GB/s", 0.0562)
 
 
@@ -96,7 +105,7 @@ def bench_hash_tokens(rng):
     data2d, lengths = native.pack_i32(blob, offsets, None, N, 16,
                                       transpose=True, fill=0)
     d, l = jnp.asarray(data2d), jnp.asarray(lengths)
-    dt = timed(lambda: hash_tokens_raw(d, l, 0, 1).block_until_ready())
+    dt = timed(lambda: hash_tokens_raw(d, l, 0, 1))
     emit("hash_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
 
 
