@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""On-hardware capability sweep — compiled kernels vs serial oracles.
+
+The pytest suite exercises every kernel through the Pallas interpreter on CPU
+(the reference's QEMU role). This sweep runs the same differential checks on
+the REAL chip — the analog of the reference's ``capability_sweep()`` which
+builds one engine per capability config and asserts agreement
+(reference ``test/szs_helpers.py:48``, ``test/similarities.py:742-911``).
+
+Prints one line per check; exits non-zero on any mismatch.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+from oracles import levenshtein, score_affine, score_linear  # noqa: E402
+
+import stringzilla_tpu as sz  # noqa: E402
+
+FAILED = []
+
+
+def check(name, ok):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}")
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    rng = np.random.default_rng(1234)
+
+    # --- Levenshtein engine (Myers path) vs Wagner-Fischer ---
+    qs = [bytes(rng.integers(97, 103, int(rng.integers(0, 120))).astype(np.uint8))
+          for _ in range(5)]
+    cs = [bytes(rng.integers(97, 103, int(rng.integers(0, 150))).astype(np.uint8))
+          for _ in range(40)]
+    out = sz.LevenshteinDistances()(qs, cs)
+    ok = all(int(out[i, j]) == levenshtein(q, c)
+             for i, q in enumerate(qs) for j, c in enumerate(cs))
+    check("levenshtein/myers 5x40 mixed lengths", ok)
+
+    # --- non-unit costs (column-walk path) ---
+    out = sz.LevenshteinDistances(mismatch=3, open=2, extend=2)(qs[:3], cs[:10])
+    ok = all(int(out[i, j]) == score_linear(
+        q, c, lambda x, y: 0 if x == y else 3, 2, objective="min")
+        for i, q in enumerate(qs[:3]) for j, c in enumerate(cs[:10]))
+    check("levenshtein/column-walk mismatch=3 gap=2", ok)
+
+    # --- affine (Gotoh) ---
+    out = sz.LevenshteinDistances(open=3, extend=1)(qs[:3], cs[:10])
+    ok = all(int(out[i, j]) == score_affine(
+        q, c, lambda x, y: 0 if x == y else 1, 3, 1, objective="min")
+        for i, q in enumerate(qs[:3]) for j, c in enumerate(cs[:10]))
+    check("levenshtein/affine open=3 extend=1", ok)
+
+    # --- NW / SW with class costs ---
+    table = rng.integers(-4, 8, (32, 32)).astype(np.int32)
+    b2c = (np.arange(256) % 20).astype(np.uint8)
+    nw = sz.NeedlemanWunschScores(byte_to_class=b2c,
+                                  class_substitution_costs=table,
+                                  open=-4, extend=-4)
+    out = nw(qs[:3], cs[:10])
+    ok = all(int(out[i, j]) == score_linear(
+        q, c, lambda x, y: int(table[b2c[x], b2c[y]]), -4, objective="max")
+        for i, q in enumerate(qs[:3]) for j, c in enumerate(cs[:10]))
+    check("needleman-wunsch/classes linear", ok)
+
+    sw = sz.SmithWatermanScores(byte_to_class=b2c,
+                                class_substitution_costs=table,
+                                open=-4, extend=-4)
+    out = sw(qs[:3], cs[:10])
+    ok = all(int(out[i, j]) == score_linear(
+        q, c, lambda x, y: int(table[b2c[x], b2c[y]]), -4, objective="max",
+        local=True)
+        for i, q in enumerate(qs[:3]) for j, c in enumerate(cs[:10]))
+    check("smith-waterman/classes local", ok)
+
+    # --- UTF-8 rune distances ---
+    out = sz.LevenshteinDistancesUTF8()(["héllo"], ["hello"])
+    check("levenshtein/utf8 rune substitution", int(out[0, 0]) == 1)
+
+    # --- wavefront long-pair tiers ---
+    from stringzilla_tpu.ops.wavefront_pallas import wavefront_score
+
+    a = rng.integers(97, 101, 90).astype(np.uint8)
+    b = rng.integers(97, 101, 130).astype(np.uint8)
+    check("wavefront/linear", wavefront_score(a, b) == levenshtein(bytes(a), bytes(b)))
+    got = wavefront_score(a, b, match=0, mismatch=1, gap=3, extend=1, objective="min")
+    check("wavefront/affine", got == score_affine(
+        bytes(a), bytes(b), lambda x, y: 0 if x == y else 1, 3, 1, objective="min"))
+    ac = (a % 20).astype(np.int32)
+    bc = (b % 20).astype(np.int32)
+    got = wavefront_score(ac, bc, gap=-4, objective="max", table=table)
+    check("wavefront/classes", got == score_linear(
+        bytes(ac.astype(np.uint8)), bytes(bc.astype(np.uint8)),
+        lambda x, y: int(table[x, y]), -4, objective="max"))
+
+    # --- search ---
+    hay = rng.integers(97, 100, (1 << 21)).astype(np.uint8)
+    hb = hay.tobytes()
+    s = sz.Str(hay)
+    needle = hb[1_000_000 : 1_000_006]
+    check("find/device streaming", s.find(needle) == hb.find(needle))
+    check("rfind/device streaming", s.rfind(needle) == hb.rfind(needle))
+    check("count/device", s.count(needle[:2], allowoverlap=True)
+          == sum(1 for p in range(len(hb) - 1) if hb[p : p + 2] == needle[:2]))
+
+    # --- hashes / PRNG bit-identity on chip ---
+    from stringzilla_tpu.ops.aes_pallas import fill_random_device
+    from stringzilla_tpu.ops.hash import fill_random, sz_hash
+    from stringzilla_tpu.ops.hash_pallas import hash_batch_device
+
+    items = [bytes(rng.integers(0, 256, int(rng.integers(0, 65))).astype(np.uint8))
+             for _ in range(100)]
+    got = hash_batch_device(items, 9)
+    check("hash/device bit-identity", all(got[i] == sz_hash(x, 9)
+                                          for i, x in enumerate(items)))
+    check("fill_random/device bit-identity",
+          bytes(np.asarray(fill_random_device(5000, 77))) == fill_random(5000, 77))
+
+    # --- fingerprints bit-identity ---
+    from stringzilla_tpu.ops.fingerprints import derive_params, fingerprint_oracle
+
+    eng = sz.Fingerprints(ndim=32, window_widths=(3, 7))
+    docs = [bytes(rng.integers(97, 123, int(rng.integers(0, 80))).astype(np.uint8))
+            for _ in range(50)]
+    h, c = eng(docs)
+    params = derive_params(32, (3, 7), 0)
+    ok = True
+    for i in (0, 7, 49):
+        eh, ec = fingerprint_oracle(docs[i], params)
+        ok &= (h[i] == eh).all() and (c[i] == ec).all()
+    check("fingerprints/device bit-identity", ok)
+
+    print(f"\n{len(FAILED)} failures" if FAILED else "\nALL CHECKS PASSED ON TPU")
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()

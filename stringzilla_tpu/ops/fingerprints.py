@@ -143,8 +143,10 @@ def fingerprint_oracle(doc: bytes, params) -> tuple[np.ndarray, np.ndarray]:
         count = np.where(update & (state == minimum), count + 1, count).astype(np.uint32)
         minimum = np.where(update, np.minimum(minimum, state), minimum)
 
+    finite_min = np.where(alive, minimum, 0.0)  # dead dims hold inf
     min_hashes = np.where(
-        alive, (minimum.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32), MAX_HASH_U32
+        alive, (finite_min.astype(np.uint64) & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        MAX_HASH_U32
     ).astype(np.uint32)
     min_counts = np.where(alive, count, np.uint32(0)).astype(np.uint32)
     return min_hashes, min_counts
