@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops.fingerprints import DEFAULT_WINDOW_WIDTHS, derive_params
 from ..ops.fingerprints_pallas import fingerprint_width_group, pack_limbs
 from ..ops.tape import Tape, round_up
+from ..utils import native
 from .device_scope import DeviceScope, default_device_scope
 
 __all__ = ["Fingerprints"]
@@ -91,17 +92,17 @@ class Fingerprints:
             return min_hashes, min_counts
 
         lens = np.array([len(d) for d in docs], dtype=np.int64)
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        blob = (np.concatenate(docs) if lens.sum() else np.zeros(0, np.uint8))
         sizes = np.array([_dyadic(x) for x in lens], dtype=np.int64)
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
             count = round_up(len(idx), 128 * ndev)
-            docs_t = np.zeros((int(bucket), count), dtype=np.int32)
-            blens = np.zeros((1, count), dtype=np.int32)
-            for lane, i in enumerate(idx):
-                d = docs[i]
-                docs_t[: len(d), lane] = d
-                blens[0, lane] = len(d)
-            docs_j, lens_j = jnp.asarray(docs_t), jnp.asarray(blens)
+            docs_t, blens = native.pack_i32(blob, offsets, idx, count,
+                                            int(bucket), transpose=True, fill=0)
+            docs_j = jnp.asarray(docs_t)
+            lens_j = jnp.asarray(blens.reshape(1, count))
             for grp in self._groups:
                 if ndev > 1:
                     from ..parallel.cross import sharded_fingerprints
