@@ -31,6 +31,14 @@ def rng():
     return np.random.default_rng(seed)
 
 
+@pytest.fixture(scope="session")
+def iterations():
+    """Scale fuzz-test iteration counts (the reference's reproducible-fuzzing
+    knob ``SZ_TESTS_MULTIPLIER``, reference ``CONTRIBUTING.md:183-236``)."""
+    mult = float(os.environ.get("SZ_TESTS_MULTIPLIER", "1"))
+    return lambda base: max(1, int(base * mult))
+
+
 def pytest_report_header(config):
     import jax
 

@@ -1,0 +1,56 @@
+"""Reproducible fuzzing across the whole engine surface — seed via
+``SZ_TESTS_SEED``, iteration scaling via ``SZ_TESTS_MULTIPLIER`` (the
+reference's protocol, ``CONTRIBUTING.md:183-236``). Failures print the
+reproducing inputs."""
+
+import numpy as np
+
+from stringzilla_tpu import LevenshteinDistances, intersect
+from stringzilla_tpu.ops import find as F
+from stringzilla_tpu.ops.hash import hash_batch, sz_hash
+from stringzilla_tpu.ops.sort import argsort_strings
+
+from .oracles import levenshtein
+
+
+def test_fuzz_levenshtein(rng, iterations):
+    for trial in range(iterations(3)):
+        nq = int(rng.integers(1, 5))
+        nc = int(rng.integers(1, 20))
+        alpha = int(rng.integers(2, 8))
+        qs = [bytes(rng.integers(97, 97 + alpha, int(rng.integers(0, 200))).astype(np.uint8))
+              for _ in range(nq)]
+        cs = [bytes(rng.integers(97, 97 + alpha, int(rng.integers(0, 200))).astype(np.uint8))
+              for _ in range(nc)]
+        out = LevenshteinDistances()(qs, cs)
+        for i, q in enumerate(qs):
+            for j, c in enumerate(cs):
+                assert out[i, j] == levenshtein(q, c), (
+                    f"repro: SZ_TESTS_SEED seed, trial={trial}, q={q!r}, c={c!r}")
+
+
+def test_fuzz_find(rng, iterations):
+    for trial in range(iterations(20)):
+        n = int(rng.integers(1, 600))
+        hay = bytes(rng.integers(97, 100, n).astype(np.uint8))
+        k = int(rng.integers(1, 20))
+        if rng.random() < 0.6 and n >= k:
+            s = int(rng.integers(0, n - k + 1))
+            needle = hay[s : s + k]
+        else:
+            needle = bytes(rng.integers(97, 101, k).astype(np.uint8))
+        assert F.find(hay, needle) == hay.find(needle), (trial, hay, needle)
+        assert F.rfind(hay, needle) == hay.rfind(needle), (trial, hay, needle)
+
+
+def test_fuzz_sort_hash_intersect(rng, iterations):
+    for trial in range(iterations(2)):
+        words = [bytes(rng.integers(97, 123, int(rng.integers(0, 16))).astype(np.uint8))
+                 for _ in range(300)]
+        perm = argsort_strings(words)
+        assert [words[i] for i in perm] == sorted(words), trial
+        h = hash_batch(words[:50], seed=trial)
+        assert all(h[i] == sz_hash(w, trial) for i, w in enumerate(words[:50]))
+        other = words[100:200] + [b"zz_unique"]
+        ia, ib = intersect(words, other)
+        assert set(words[i] for i in ia) == (set(words) & set(other))
