@@ -57,8 +57,10 @@ def _wb_class(r: int) -> str:
         return "Format"
     if 0x30A0 <= r <= 0x30FF or 0x31F0 <= r <= 0x31FF or r in (0x3031, 0x3032, 0x3033, 0x3034, 0x3035):
         return "Katakana"
-    if r in (0x27, 0x2019):  # apostrophes
-        return "MidNumLet" if r == 0x2E else "MidLetter"
+    if r == 0x27:  # U+0027 is Single_Quote in UAX-29; without a separate
+        return "MidNumLet"  # Hebrew_Letter class its WB6/7 behavior matches MidNumLet
+    if r == 0x2019:  # RIGHT SINGLE QUOTATION MARK
+        return "MidNumLet"  # MidNumLet per WordBreakProperty.txt
     if r in (0x3A, 0xB7, 0x387, 0x05F4, 0x2027, 0xFE13, 0xFE55, 0xFF1A):
         return "MidLetter"
     if r in (0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C, 0x7F8, 0xFE10,

@@ -1,7 +1,10 @@
-"""ctypes bridge to the native host runtime (``native/tapecraft.cpp``).
+"""ctypes bridge to the native host runtime
+(``stringzilla_tpu/native/tapecraft.cpp``).
 
-Builds the shared library on first use with the system toolchain and caches
-it next to the source (mtime-checked). Every entry point has a pure-numpy
+Builds the shared library on first use with the system toolchain into a
+per-user cache directory, keyed by a hash of the source + compiler flags
+(mtime is meaningless after a git checkout, and a foreign-ISA binary keyed
+by mtime could SIGILL at call time). Every entry point has a pure-numpy
 fallback, so the package works even without a compiler — the native path is
 the production host tier (the reference's host runtime is C/C++ as well).
 """
@@ -9,6 +12,7 @@ the production host tier (the reference's host runtime is C/C++ as well).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,27 +22,42 @@ import numpy as np
 __all__ = ["lib", "available", "pack_i32", "pack_u8", "tokenize_ws",
            "split_lines", "pgram_keys"]
 
-_REPO_NATIVE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_REPO_NATIVE, "tapecraft.cpp")
-_SO = os.path.join(_REPO_NATIVE, "libtapecraft.so")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "tapecraft.cpp")
+_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "stringzilla_tpu")
+
+
 def _build() -> str | None:
     if not os.path.exists(_SRC):
         return None
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.sha256(src + " ".join(_FLAGS).encode()).hexdigest()[:16]
+    so = os.path.join(_cache_dir(), f"libtapecraft-{key}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _SO
+        os.makedirs(_cache_dir(), exist_ok=True)
+        subprocess.run(["g++", *_FLAGS, _SRC, "-o", tmp],
+                       check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)  # atomic under concurrent builders
+        return so
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

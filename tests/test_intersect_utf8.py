@@ -33,6 +33,35 @@ def test_intersect_random(rng):
     assert set(ia) == set(ia2)
 
 
+def test_intersect_large_device_path(rng):
+    """Regression: >= 2^15 items routes key sorting to the device tier; u64
+    keys must be split into u32 lanes (x64 is off — a plain jnp.argsort
+    silently truncates and the merge returns ~nothing)."""
+    n = 1 << 15
+    A = [b"a%028d" % i for i in range(n)]
+    B = [b"b%028d" % i for i in range(n)]
+    common = [b"common-%023d" % i for i in range(100)]
+    for k in range(100):
+        A[k * 301] = common[k]
+        B[k * 317] = common[k]
+    ia, ib = intersect(A, B)
+    assert len(ia) == 100
+    assert all(A[i] == B[j] for i, j in zip(ia, ib))
+
+
+def test_sorted_match_collision_runs():
+    """A hash collision between distinct strings must probe the whole
+    equal-key run, not a single searchsorted position."""
+    from stringzilla_tpu.ops.intersect import _sorted_match
+
+    a = np.array([5, 9, 9, 2], dtype=np.uint64)
+    b = np.array([9, 7, 9, 5, 9], dtype=np.uint64)
+    ia, ib = _sorted_match(a, b)
+    pairs = set(zip(ia.tolist(), ib.tolist()))
+    expected = {(0, 3)} | {(i, j) for i in (1, 2) for j in (0, 2, 4)}
+    assert pairs == expected
+
+
 def test_utf8_runes(rng):
     s = "héllo жизнь 🌍"
     b = s.encode()
