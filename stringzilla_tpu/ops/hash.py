@@ -20,14 +20,11 @@ for every length/seed combination. The batched device path lives in
 Also: ``bytesum`` (``hash.h:110``), the AES-CTR ``fill_random``
 (``hash/serial.h:953-968``), ``hash_multiseed`` (``hash.h:173``), streaming
 ``Hasher`` (``hash.h:259-276``), and FIPS ``Sha256``/``hmac_sha256`` (the
-digest contract of ``hash.h:283-300``; host path delegates to hashlib, which
-is the same FIPS 180-4 function).
+digest contract of ``hash.h:283-300``; own implementation in ``sha256.py``,
+re-exported here).
 """
 
 from __future__ import annotations
-
-import hashlib
-import hmac as _hmac
 
 import numpy as np
 
@@ -349,28 +346,6 @@ class Hasher:
         return f"{self.digest():016x}"
 
 
-class Sha256:
-    """FIPS 180-4 SHA-256 (``sz_sha256_state_*``, ``hash.h:283-300``). The
-    host path delegates to hashlib — the same standardized function the
-    reference implements; the batched device path lives in ``sha256_pallas``."""
-
-    def __init__(self, data: bytes = b""):
-        self._h = hashlib.sha256()
-        if data:
-            self._h.update(data)
-
-    def update(self, data: bytes) -> "Sha256":
-        self._h.update(bytes(data))
-        return self
-
-    def digest(self) -> bytes:
-        return self._h.digest()
-
-    def hexdigest(self) -> str:
-        return self._h.hexdigest()
-
-
-def hmac_sha256(key: bytes, message: bytes) -> bytes:
-    """RFC 2104 HMAC over SHA-256 (Python parity helper, reference
-    ``python/stringzilla.c:9531-9612`` exposes ``hmac_sha256``)."""
-    return _hmac.new(bytes(key), bytes(message), hashlib.sha256).digest()
+# Own FIPS 180-4 implementation + batched device path live in ops.sha256;
+# re-exported here so the public surface (`sz.Sha256`) is unchanged.
+from .sha256 import Sha256, hmac_sha256, sha256_batch  # noqa: E402,F401
