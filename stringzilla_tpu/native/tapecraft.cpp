@@ -174,6 +174,188 @@ uint64_t tc_bytesum(const uint8_t* data, int64_t n) {
     return acc;
 }
 
-int tc_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// UTF-8 runtime: exact decode (U+FFFD per maximal subpart), encode, and
+// table-driven full case folding. The host half of the Unicode tier — the
+// property/fold tables are generated in Python (ops/ucd.py) and passed in
+// as plain arrays; this file only knows UTF-8 framing, not Unicode data.
+// ---------------------------------------------------------------------------
+
+// Decode one rune starting at data[i]; writes the rune (or 0xFFFD) and
+// returns bytes consumed (>= 1). Invalid sequences consume their maximal
+// subpart, matching Python's errors="replace" / Unicode TR recommendation.
+static inline int64_t tc_decode_one(const uint8_t* data, int64_t i, int64_t n,
+                                    uint32_t* rune) {
+    uint8_t b0 = data[i];
+    if (b0 < 0x80) { *rune = b0; return 1; }
+    if (b0 < 0xC2) { *rune = 0xFFFD; return 1; }  // stray cont / C0 / C1
+    int64_t avail = n - i;
+    if (b0 < 0xE0) {  // 2-byte
+        if (avail >= 2 && (data[i + 1] & 0xC0) == 0x80) {
+            *rune = ((uint32_t)(b0 & 0x1F) << 6) | (data[i + 1] & 0x3F);
+            return 2;
+        }
+        *rune = 0xFFFD; return 1;
+    }
+    if (b0 < 0xF0) {  // 3-byte; first-cont range depends on the lead
+        uint8_t lo = b0 == 0xE0 ? 0xA0 : 0x80;
+        uint8_t hi = b0 == 0xED ? 0x9F : 0xBF;
+        if (avail < 2 || data[i + 1] < lo || data[i + 1] > hi) { *rune = 0xFFFD; return 1; }
+        if (avail < 3 || (data[i + 2] & 0xC0) != 0x80) { *rune = 0xFFFD; return 2; }
+        *rune = ((uint32_t)(b0 & 0x0F) << 12) |
+                ((uint32_t)(data[i + 1] & 0x3F) << 6) | (data[i + 2] & 0x3F);
+        return 3;
+    }
+    if (b0 <= 0xF4) {  // 4-byte
+        uint8_t lo = b0 == 0xF0 ? 0x90 : 0x80;
+        uint8_t hi = b0 == 0xF4 ? 0x8F : 0xBF;
+        if (avail < 2 || data[i + 1] < lo || data[i + 1] > hi) { *rune = 0xFFFD; return 1; }
+        if (avail < 3 || (data[i + 2] & 0xC0) != 0x80) { *rune = 0xFFFD; return 2; }
+        if (avail < 4 || (data[i + 3] & 0xC0) != 0x80) { *rune = 0xFFFD; return 3; }
+        *rune = ((uint32_t)(b0 & 0x07) << 18) | ((uint32_t)(data[i + 1] & 0x3F) << 12) |
+                ((uint32_t)(data[i + 2] & 0x3F) << 6) | (data[i + 3] & 0x3F);
+        return 4;
+    }
+    *rune = 0xFFFD; return 1;  // F5..FF
+}
+
+static inline int64_t tc_encode_one(uint32_t r, uint8_t* out) {
+    if (r < 0x80) { out[0] = (uint8_t)r; return 1; }
+    if (r < 0x800) {
+        out[0] = (uint8_t)(0xC0 | (r >> 6));
+        out[1] = (uint8_t)(0x80 | (r & 0x3F));
+        return 2;
+    }
+    if (r < 0x10000) {
+        out[0] = (uint8_t)(0xE0 | (r >> 12));
+        out[1] = (uint8_t)(0x80 | ((r >> 6) & 0x3F));
+        out[2] = (uint8_t)(0x80 | (r & 0x3F));
+        return 3;
+    }
+    out[0] = (uint8_t)(0xF0 | (r >> 18));
+    out[1] = (uint8_t)(0x80 | ((r >> 12) & 0x3F));
+    out[2] = (uint8_t)(0x80 | ((r >> 6) & 0x3F));
+    out[3] = (uint8_t)(0x80 | (r & 0x3F));
+    return 4;
+}
+
+// End of the pure-ASCII run starting at i (SWAR 8-byte probe).
+static inline int64_t tc_ascii_run(const uint8_t* data, int64_t i, int64_t n) {
+    while (i + 8 <= n) {
+        uint64_t w;
+        std::memcpy(&w, data + i, 8);
+        if (w & 0x8080808080808080ull) break;
+        i += 8;
+    }
+    while (i < n && data[i] < 0x80) ++i;
+    return i;
+}
+
+// Decode the whole buffer. Returns rune count. When runes/offsets are
+// non-null they receive the scalar values and the source byte offset of
+// every rune (offsets has one extra slot for the end offset).
+int64_t tc_utf8_decode(const uint8_t* data, int64_t n, uint32_t* runes,
+                       int32_t* offsets) {
+    int64_t count = 0, i = 0;
+    while (i < n) {
+        int64_t run_end = tc_ascii_run(data, i, n);
+        if (runes == nullptr) {
+            count += run_end - i;
+        } else {
+            for (int64_t j = i; j < run_end; ++j) runes[count + (j - i)] = data[j];
+            for (int64_t j = i; j < run_end; ++j) offsets[count + (j - i)] = (int32_t)j;
+            count += run_end - i;
+        }
+        i = run_end;
+        if (i >= n) break;
+        uint32_t r;
+        int64_t used = tc_decode_one(data, i, n, &r);
+        if (runes) { runes[count] = r; offsets[count] = (int32_t)i; }
+        i += used;
+        ++count;
+    }
+    if (runes && offsets) offsets[count] = (int32_t)n;
+    return count;
+}
+
+int64_t tc_utf8_encode(const uint32_t* runes, int64_t count, uint8_t* out) {
+    int64_t o = 0;
+    for (int64_t k = 0; k < count; ++k) o += tc_encode_one(runes[k], out + o);
+    return o;
+}
+
+// Full case folding over decoded runes. fold1 is a u32[0x110000] direct
+// table (identity where unchanged, 0xFFFFFFFF marks multi-rune folds looked
+// up in the mkeys/moffs/mvals expansion lists). Emits folded runes and the
+// index of the *source rune* each folded rune came from (for offset
+// mapping in uncased search). Output capacity must be >= 3 * count.
+int64_t tc_fold_runes(const uint32_t* runes, int64_t count,
+                      const uint32_t* fold1, const uint32_t* mkeys,
+                      const int64_t* moffs, const uint32_t* mvals,
+                      int64_t mcount, uint32_t* out_runes, int64_t* out_src) {
+    int64_t o = 0;
+    for (int64_t k = 0; k < count; ++k) {
+        uint32_t r = runes[k];
+        uint32_t f = r < 0x110000 ? fold1[r] : r;
+        if (f != 0xFFFFFFFFu) {
+            out_runes[o] = f;
+            if (out_src) out_src[o] = k;
+            ++o;
+            continue;
+        }
+        // binary search the (rare, ~100-entry) multi-fold table
+        int64_t lo = 0, hi = mcount;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
+        }
+        for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v) {
+            out_runes[o] = mvals[v];
+            if (out_src) out_src[o] = k;
+            ++o;
+        }
+    }
+    return o;
+}
+
+// One-shot fold of a UTF-8 buffer to folded UTF-8 bytes, fused
+// decode→fold→encode with an ASCII fast path (the hot shape for the
+// uncased/fold benchmarks; reference hits 1.3 GB/s with AVX-512 here).
+// Returns folded byte count; out capacity must be >= 3*n + 16.
+int64_t tc_utf8_fold_bytes(const uint8_t* data, int64_t n,
+                           const uint32_t* fold1, const uint32_t* mkeys,
+                           const int64_t* moffs, const uint32_t* mvals,
+                           int64_t mcount, uint8_t* out) {
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        int64_t run_end = tc_ascii_run(data, i, n);
+        // ASCII: only A-Z fold, always 1:1 — this loop auto-vectorizes
+        for (int64_t j = i; j < run_end; ++j) {
+            uint8_t b = data[j];
+            out[o + (j - i)] = (uint8_t)(b + (((uint8_t)(b - 'A') < 26) ? 32 : 0));
+        }
+        o += run_end - i;
+        i = run_end;
+        if (i >= n) break;
+        uint32_t r;
+        int64_t used = tc_decode_one(data, i, n, &r);
+        i += used;
+        uint32_t f = fold1[r];
+        if (f != 0xFFFFFFFFu) {
+            o += tc_encode_one(f, out + o);
+            continue;
+        }
+        int64_t lo = 0, hi = mcount;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
+        }
+        for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v)
+            o += tc_encode_one(mvals[v], out + o);
+    }
+    return o;
+}
+
+int tc_version(void) { return 2; }
 
 }  // extern "C"

@@ -91,6 +91,16 @@ def lib():
                                     ctypes.c_int, ctypes.c_int]
         L.tc_bytesum.argtypes = [c_p, c_i64]
         L.tc_bytesum.restype = ctypes.c_uint64
+        L.tc_utf8_decode.argtypes = [c_p, c_i64, c_p, c_p]
+        L.tc_utf8_decode.restype = c_i64
+        L.tc_utf8_encode.argtypes = [c_p, c_i64, c_p]
+        L.tc_utf8_encode.restype = c_i64
+        L.tc_fold_runes.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_p, c_i64,
+                                    c_p, c_p]
+        L.tc_fold_runes.restype = c_i64
+        L.tc_utf8_fold_bytes.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_p,
+                                         c_i64, c_p]
+        L.tc_utf8_fold_bytes.restype = c_i64
         _lib = L
         return _lib
 
@@ -194,6 +204,67 @@ def split_lines(data: np.ndarray) -> np.ndarray:
         spans.append((start, start + len(line)))
         pos = start + len(line) + 1
     return np.asarray(spans, dtype=np.int64).reshape(-1, 2)
+
+
+def utf8_decode(data: np.ndarray):
+    """Decode UTF-8 to ``(runes u32[k], offsets i32[k+1])`` with U+FFFD per
+    maximal subpart (Python ``errors="replace"`` semantics). None when the
+    native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    runes = np.empty(n, dtype=np.uint32)  # never more runes than bytes
+    offsets = np.empty(n + 1, dtype=np.int32)
+    count = L.tc_utf8_decode(_ptr(data), n, _ptr(runes), _ptr(offsets))
+    return runes[:count], offsets[: count + 1]
+
+
+def utf8_encode(runes: np.ndarray) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    runes = np.ascontiguousarray(runes, dtype=np.uint32)
+    out = np.empty(4 * runes.shape[0] + 4, dtype=np.uint8)
+    n = L.tc_utf8_encode(_ptr(runes), runes.shape[0], _ptr(out))
+    return out[:n]
+
+
+def fold_runes(runes: np.ndarray, fold1: np.ndarray, mkeys: np.ndarray,
+               moffs: np.ndarray, mvals: np.ndarray, with_src: bool = True):
+    """Full case folding over a rune array; returns (folded u32[m],
+    src_index i64[m] | None). None when native is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    runes = np.ascontiguousarray(runes, dtype=np.uint32)
+    k = runes.shape[0]
+    out = np.empty(3 * k + 4, dtype=np.uint32)
+    src = np.empty(3 * k + 4, dtype=np.int64) if with_src else None
+    m = L.tc_fold_runes(_ptr(runes), k, _ptr(np.ascontiguousarray(fold1)),
+                        _ptr(np.ascontiguousarray(mkeys)),
+                        _ptr(np.ascontiguousarray(moffs)),
+                        _ptr(np.ascontiguousarray(mvals)), len(mkeys),
+                        _ptr(out), _ptr(src) if with_src else None)
+    return out[:m], (src[:m] if with_src else None)
+
+
+def utf8_fold_bytes(data: np.ndarray, fold1: np.ndarray, mkeys: np.ndarray,
+                    moffs: np.ndarray, mvals: np.ndarray) -> np.ndarray | None:
+    """Fused decode→fold→encode of a UTF-8 buffer (ASCII fast path)."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    out = np.empty(3 * n + 16, dtype=np.uint8)
+    m = L.tc_utf8_fold_bytes(_ptr(data), n, _ptr(np.ascontiguousarray(fold1)),
+                             _ptr(np.ascontiguousarray(mkeys)),
+                             _ptr(np.ascontiguousarray(moffs)),
+                             _ptr(np.ascontiguousarray(mvals)), len(mkeys),
+                             _ptr(out))
+    return out[:m]
 
 
 def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
