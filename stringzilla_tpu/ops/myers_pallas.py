@@ -84,6 +84,7 @@ def _kernel(words: int, cand_len: int, refs):
     S_hi = jnp.where((rel >= 16) & (rel < 32),
                      jnp.left_shift(jnp.int32(1), jnp.clip(rel - 16, 0, 15)),
                      0).astype(jnp.bfloat16)
+    S_lohi = jnp.concatenate([S_lo, S_hi], axis=0)  # (2*words, rows)
 
     # VP init: bits [0, m) set, per word: full words below m/32, partial at it.
     w_iota = jax.lax.broadcasted_iota(jnp.int32, (words, lanes), 0)
@@ -102,14 +103,14 @@ def _kernel(words: int, cand_len: int, refs):
         VP, VN, score = carry
         c_row = cands_ref[pl.ds(j - 1, 1), :]  # (1, lanes)
 
-        # Eq: pack 32-row groups of (q == c) into int32 words via two MXU
-        # matmuls. The padded query rows are -1 and never match a real char.
+        # Eq: pack 32-row groups of (q == c) into int32 words via one stacked
+        # MXU matmul (lo/hi 16-bit halves share the eqf read). The padded
+        # query rows are -1 and never match a real char.
         eqf = (q == c_row).astype(jnp.bfloat16)  # (rows, lanes)
-        lo = jax.lax.dot_general(S_lo, eqf, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        hi = jax.lax.dot_general(S_hi, eqf, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        Eq = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+        lohi = jax.lax.dot_general(S_lohi, eqf, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        Eq = (lohi[:words].astype(jnp.int32)
+              | (lohi[words:].astype(jnp.int32) << 16))
 
         Xv = Eq | VN
         # (Eq & VP) + VP with the carry rippled across words via a
@@ -121,14 +122,21 @@ def _kernel(words: int, cand_len: int, refs):
         if words == 1:
             s = s1
         else:
-            g = _uless(s1, t)  # (words, lanes) bool
-            p = s1 == -1
-            co = g[0:1]
-            c_rows = [jnp.zeros((1, lanes), jnp.int32), co.astype(jnp.int32)]
-            for w in range(1, words - 1):
-                co = g[w : w + 1] | (p[w : w + 1] & co)
-                c_rows.append(co.astype(jnp.int32))
-            c_in = jnp.concatenate(c_rows[:words], axis=0)
+            # carry out of word w: g[w] | (p[w] & co[w-1]) — a parallel
+            # prefix over the (g, p) carry semigroup, log2(words) depth
+            # (Kogge-Stone), so 128-word queries cost 7 combine steps, not 127
+            g = _uless(s1, t).astype(jnp.int32)  # (words, lanes)
+            p = (s1 == -1).astype(jnp.int32)
+            def down(X, d):  # X shifted d rows toward higher words, zero fill
+                return jnp.concatenate(
+                    [jnp.zeros((d, lanes), jnp.int32), X[:-d]], axis=0)
+
+            d = 1
+            while d < words:
+                g = g | (p & down(g, d))
+                p = p & down(p, d)
+                d *= 2
+            c_in = down(g, 1)  # carry INTO word w
             s = s1 + c_in
         Xh = (s ^ VP) | Eq
 

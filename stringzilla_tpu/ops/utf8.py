@@ -149,9 +149,37 @@ def _incremental_runes(buf: bytes):
 
 def utf8_fold(data) -> bytes:
     """Full Unicode case folding incl. multi-char expansions — ß→ss, ﬃ→ffi
-    (``sz_utf8_uncased_fold``, reference ``utf8_uncased_fold.h:55``).
-    Python's ``str.casefold`` implements the same C+F full folding."""
-    return _decode(data).casefold().encode("utf-8")
+    (``sz_utf8_uncased_fold``, reference ``utf8_uncased_fold.h:55``). The
+    hot path is the native fused decode→fold→encode over generated
+    CaseFolding tables (``tapecraft.cpp::tc_utf8_fold_bytes``); fallback is
+    ``str.casefold`` (same C+F full folding)."""
+    buf = _as_bytes(data)
+    out = _native_fold_bytes(buf)
+    if out is not None:
+        return out
+    return _decode(buf).casefold().encode("utf-8")
+
+
+def _fold_tables():
+    from . import ucd
+
+    if not ucd.available():
+        return None
+    t = ucd._load()
+    return (t["fold1"], t["fold_multi_keys"], t["fold_multi_offs"],
+            t["fold_multi_vals"])
+
+
+def _native_fold_bytes(buf: bytes) -> bytes | None:
+    from ..utils import native
+
+    if not native.available():
+        return None
+    tabs = _fold_tables()
+    if tabs is None:
+        return None
+    out = native.utf8_fold_bytes(np.frombuffer(buf, dtype=np.uint8), *tabs)
+    return bytes(out) if out is not None else None
 
 
 _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
@@ -206,19 +234,39 @@ def _fold_with_offsets(buf: bytes):
     return folded, spans
 
 
+def _folded_with_spans(buf: bytes):
+    """(folded_runes int64[m], start_off int64[m], end_off int64[m]) — the
+    native decode+fold pipeline with per-folded-rune source byte spans;
+    Python fallback."""
+    from ..utils import native
+
+    tabs = _fold_tables()
+    if native.available() and tabs is not None:
+        dec = native.utf8_decode(np.frombuffer(buf, dtype=np.uint8))
+        runes, offs = dec
+        fr = native.fold_runes(runes, *tabs)
+        folded, src = fr
+        starts = offs[:-1].astype(np.int64)[src]
+        ends = offs[1:].astype(np.int64)[src]
+        return folded.astype(np.int64), starts, ends
+    h_folded, h_spans = _fold_with_offsets(buf)
+    starts = np.asarray([s for s, _l in h_spans], dtype=np.int64)
+    ends = starts + np.asarray([l for _s, l in h_spans], dtype=np.int64)
+    return np.asarray(h_folded, dtype=np.int64), starts, ends
+
+
 def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     """Case-insensitive substring search; returns ``(byte_offset, byte_len)``
     in the ORIGINAL haystack bytes or ``(-1, 0)`` (``sz_utf8_uncased_search``,
-    reference ``utf8_uncased.h:957`` — folding on the fly, no pre-folded
-    haystack copy)."""
+    reference ``utf8_uncased.h:957``). Pipeline: native decode+fold to rune
+    arrays with source spans, then the dense shifted-compare over the folded
+    rune arrays (the same branch-free shape as the byte-level ``find``)."""
     hb, nb = _as_bytes(haystack), _as_bytes(needle)
-    h_folded, h_spans = _fold_with_offsets(hb)
-    n_folded, _ = _fold_with_offsets(nb)
-    k = len(n_folded)
+    h, starts, ends = _folded_with_spans(hb)
+    nd, _, _ = _folded_with_spans(nb)
+    k = len(nd)
     if k == 0:
         return (0, 0)
-    h = np.asarray(h_folded, dtype=np.int64)
-    nd = np.asarray(n_folded, dtype=np.int64)
     if len(h) < k:
         return (-1, 0)
     mask = np.ones(len(h) - k + 1, dtype=bool)
@@ -229,22 +277,36 @@ def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     if idx.size == 0:
         return (-1, 0)
     i = int(idx[0])
-    first_off = h_spans[i][0]
-    last_off, last_len = h_spans[i + k - 1]
-    return (first_off, last_off + last_len - first_off)
+    return (int(starts[i]), int(ends[i + k - 1] - starts[i]))
 
 
 def utf8_uncased_order(a, b) -> int:
     """Uncased 3-way collation (``sz_utf8_uncased_order``,
-    ``utf8_uncased.h:746``)."""
-    fa, fb = _decode(a).casefold(), _decode(b).casefold()
-    return -1 if fa < fb else (0 if fa == fb else 1)
+    ``utf8_uncased.h:746``) — rune-wise order of the folded streams."""
+    fa, fb = _folded_with_spans(_as_bytes(a))[0], _folded_with_spans(_as_bytes(b))[0]
+    n = min(len(fa), len(fb))
+    neq = np.nonzero(fa[:n] != fb[:n])[0]
+    if neq.size:
+        i = neq[0]
+        return -1 if fa[i] < fb[i] else 1
+    return -1 if len(fa) < len(fb) else (0 if len(fa) == len(fb) else 1)
 
 
 def utf8_find_cased(data) -> int:
     """Byte offset of the first rune that changes under folding, or -1
-    (``sz_utf8_find_cased``, ``utf8_uncased.h:800``)."""
+    (``sz_utf8_find_cased``, ``utf8_uncased.h:800``) — one table gather
+    over the decoded runes."""
     buf = _as_bytes(data)
+    tabs = _fold_tables()
+    if tabs is not None:
+        from .segment import decode_runes
+
+        runes, offs = decode_runes(buf)
+        if runes.size == 0:
+            return -1
+        changed = tabs[0][runes.astype(np.int64)] != runes
+        idx = np.nonzero(changed)[0]
+        return int(offs[idx[0]]) if idx.size else -1
     for off, _length, r in _incremental_runes(buf):
         if chr(r).casefold() != chr(r):
             return off
@@ -366,8 +428,20 @@ def _gb_break(prev_cls: str, cls: str, ri_parity: int, after_pict_zwj: bool) -> 
 
 def utf8_graphemes(data) -> list[tuple[int, int]]:
     """Grapheme-cluster spans ``(byte_offset, byte_len)`` (``sz_utf8_graphemes``,
-    reference ``utf8_graphemes.h:37``)."""
+    reference ``utf8_graphemes.h:37``). Exact GB1-GB13 via the vectorized
+    table tier (``ops.segment``); the hand-derived per-rune engine below is
+    the fallback when the UCD table source is unavailable."""
     buf = _as_bytes(data)
+    from . import ucd
+
+    if ucd.available():
+        from .segment import grapheme_breaks
+
+        if not buf:
+            return []
+        br = grapheme_breaks(buf)
+        bounds = [0] + [int(b) for b in br] + [len(buf)]
+        return [(a, b - a) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
     runes = list(_incremental_runes(buf))
     if not runes:
         return []

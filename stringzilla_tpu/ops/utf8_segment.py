@@ -137,8 +137,16 @@ def _word_break_between(classes: list[str], i: int) -> bool:
 
 def utf8_wordbreaks(data) -> list[int]:
     """Sorted byte offsets of word boundaries (between-position offsets,
-    excluding 0 and len) — the raw boundary stream of ``sz_utf8_wordbreaks``."""
+    excluding 0 and len) — the raw boundary stream of ``sz_utf8_wordbreaks``.
+    Exact WB1-WB999 via the vectorized table tier when UCD tables are
+    available; the hand-derived engine below is the fallback."""
     buf = _as_bytes(data)
+    from . import ucd
+
+    if ucd.available():
+        from .segment import word_breaks
+
+        return [int(b) for b in word_breaks(buf)]
     runes = list(_incremental_runes(buf))
     if not runes:
         return []
@@ -168,6 +176,12 @@ def utf8_words(data) -> list[tuple[int, int]]:
     contains at least one letter/number/katakana rune (the conventional
     "words only" view of the boundary stream)."""
     buf = _as_bytes(data)
+    from . import ucd
+
+    if ucd.available():
+        from .segment import words as _words
+
+        return _words(buf)
     breaks = [0] + utf8_wordbreaks(buf) + [len(buf)]
     out = []
     for a, b in zip(breaks[:-1], breaks[1:]):
@@ -218,8 +232,15 @@ def _sb_class(r: int) -> str:
 
 
 def utf8_sentences(data) -> list[tuple[int, int]]:
-    """Sentence spans ``(byte_offset, byte_len)`` (``sz_utf8_sentences``)."""
+    """Sentence spans ``(byte_offset, byte_len)`` (``sz_utf8_sentences``).
+    Exact SB1-SB11 via the table tier when available."""
     buf = _as_bytes(data)
+    from . import ucd
+
+    if ucd.available():
+        from .segment import sentences as _sentences
+
+        return _sentences(buf)
     runes = [(off, ln, r) for off, ln, r in _incremental_runes(buf)]
     if not runes:
         return []
@@ -307,8 +328,15 @@ def _lb_class(r: int) -> str:
 def utf8_linebreaks(data) -> list[int]:
     """Sorted byte offsets of line-break opportunities (positions where a
     line may be wrapped), including mandatory breaks after BK/CR/LF
-    (``sz_utf8_linebreaks``, reference ``utf8_linebreaks.h:41``)."""
+    (``sz_utf8_linebreaks``, reference ``utf8_linebreaks.h:41``).
+    UAX-14 core rule cascade via the table tier when available."""
     buf = _as_bytes(data)
+    from . import ucd
+
+    if ucd.available():
+        from .segment import line_breaks
+
+        return [int(b) for b in line_breaks(buf)[0]]
     runes = list(_incremental_runes(buf))
     if not runes:
         return []

@@ -54,7 +54,10 @@ def test_sentences():
     assert sents[0] == "Hello world. "
     assert any("here. it" in x for x in sents)  # SB8 lowercase continuation
     u = "U.S. Government".encode()
-    assert len(utf8_sentences(u)) == 1  # SB7 Upper ATerm Upper
+    # strict UAX-29: SB7 merges only directly-adjacent Upper ATerm Upper, so
+    # the inner "U.S" dots merge but ". G" (with a space) still splits
+    assert utf8_sentences(u) == [(0, 5), (5, 10)]
+    assert len(utf8_sentences(b"U.S.A is big")) == 1
 
 
 def test_linebreaks():

@@ -52,6 +52,24 @@ def test_myers_multiword_boundary(rng):
             assert out[i, j] == levenshtein(q, c)
 
 
+@pytest.mark.parametrize("words", [8, 32, 128])
+def test_myers_high_word_counts(rng, words):
+    """The engine routes queries up to 4096 chars (128 words) to this kernel;
+    the carry prefix and the top-bit score test must hold at every tier."""
+    rows = words * 32
+    m = rows - rng.integers(0, 17)
+    qs = [bytes(rng.integers(97, 100, m).astype(np.uint8)),
+          bytes(rng.integers(97, 100, rows - 33).astype(np.uint8))]
+    cand_len = 40
+    cs = [bytes(rng.integers(97, 100, int(l)).astype(np.uint8))
+          for l in rng.integers(0, cand_len + 1, size=127)]
+    cs.append(qs[0][: min(len(qs[0]), cand_len)])  # near-identical candidate
+    out = np.asarray(myers_pallas(*_pack(qs, cs, rows, cand_len), lane_block=128))
+    for i, q in enumerate(qs):
+        for j, c in enumerate(cs):
+            assert out[i, j] == levenshtein(q, c), (words, i, j)
+
+
 def test_engine_routes_unit_cost_to_myers(rng):
     from stringzilla_tpu import LevenshteinDistances
 
