@@ -10,18 +10,21 @@ exchange onto **``ppermute`` along the mesh ring**:
   device); the second operand is processed in column blocks of C;
 * macro-step t: device d computes tile ``(rows d, column block t-d)`` — a
   systolic pipeline, D stages deep;
-* each tile consumes the bottom row of the chunk above (the frontier,
-  received over ICI last step) and its own right column (kept local), and
-  emits its bottom row to the next device;
+* each tile consumes the bottom rows of the chunk above (the D — and for
+  affine also the vertical-gap F — frontier, received over ICI last step)
+  and its own right columns (kept local), and emits its bottoms to the
+  next device;
 * inside a tile, every column is one dense vector step over the chunk's
-  rows: the within-column dependency is linearized with the same exact
-  min/max prefix scan as the lane-packed kernels
-  (``ops/similarity._chain_scan``).
+  rows: the within-column dependency (the D chain for linear gaps, the
+  Gotoh F chain for affine) is linearized with the same exact min/max
+  prefix scan as the lane-packed kernels (``ops/similarity._chain_scan``).
 
-Global alignment, uniform substitution costs, linear gaps (the Levenshtein /
-uniform-NW family). Exact int32; validated against Wagner-Fischer on the
-virtual multi-device CPU mesh — the same shard_map program compiles to ICI
-collectives on a real pod.
+Full config space of the single-chip tiers: uniform OR 32×32 class-cost
+substitution (one-hot MXU matmul per chunk), linear OR Gotoh affine gaps
+(k-gap = open + extend·(k-1)), global OR local (Smith-Waterman clamp +
+running best) alignment, min or max objective. Exact int32; validated
+against the Gotoh/Wagner-Fischer oracles on the virtual multi-device CPU
+mesh — the same shard_map program compiles to ICI collectives on a pod.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ __all__ = ["ring_wavefront_score"]
 BIG = 1 << 28
 
 
-def _chain_scan(base: jnp.ndarray, gap: int, is_min: bool) -> jnp.ndarray:
+def _chain_scan(base: jnp.ndarray, gap, is_min: bool) -> jnp.ndarray:
     """Exact solve of ``new[i] = opt(base[i], new[i-1] + gap)`` (1-D)."""
     n = base.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -54,46 +57,91 @@ def _chain_scan(base: jnp.ndarray, gap: int, is_min: bool) -> jnp.ndarray:
 
 
 def _build_ring(mesh: Mesh, mb: int, C: int, NB: int, match: int,
-                mismatch: int, gap: int, is_min: bool):
+                mismatch: int, open_: int, extend: int, is_min: bool,
+                is_affine: bool, is_local: bool, use_table: bool):
     D = mesh.devices.size
     opt = jnp.minimum if is_min else jnp.maximum
+    ident = jnp.int32(BIG if is_min else -BIG)
 
-    def tile(a_chunk, b_block, left_col, top, corner, col_base, row_base):
-        """One (mb x C) tile; returns (right_col, bottom_row, cols_matrix)."""
+    def gbound(k):
+        # boundary of a k-long gap; affine: open + extend*(k-1)
+        if is_affine:
+            return jnp.where(k > 0, open_ + extend * (k - 1), 0)
+        return open_ * k
+
+    ext = extend if is_affine else open_
+
+    def tile(sub_tile, left_D, left_E, top_D, top_F, corner):
+        """One (mb x C) tile.
+
+        sub_tile: (C, mb) substitution costs; left_D/left_E: (mb,) previous
+        column's D and E (horizontal-gap) values; top_D/top_F: (C,) frontier
+        rows from the device above; corner: D at (row_base, col_base).
+        Returns (right_D, right_E, bottom_D, bottom_F, cols)."""
 
         def col_step(carry, inp):
-            Pcol, prev_top = carry
-            b_char, top_c = inp
-            sub = jnp.where(a_chunk == b_char, jnp.int32(match),
-                            jnp.int32(mismatch))
-            diag = jnp.concatenate([prev_top[None], Pcol[:-1]])
-            base = opt(Pcol + gap, diag + sub)
-            base = base.at[0].set(opt(base[0], top_c + gap))
-            new = _chain_scan(base, gap, is_min)
-            return (new, top_c), new
+            Dcol, Ecol, prev_top = carry
+            sub, top_d, top_f = inp
+            if is_affine:
+                E_new = opt(Ecol + extend, Dcol + open_)
+            else:
+                E_new = Dcol + open_  # linear: horizontal step collapses
+            diag = jnp.concatenate([prev_top[None], Dcol[:-1]])
+            D0 = opt(diag + sub, E_new)
+            if is_local:
+                D0 = opt(D0, 0)
+            # vertical chain: F[i] = opt(F[i-1]+ext, D[i-1]+open); seeded by
+            # the frontier's F/D (re-opening never improves for min costs>=0
+            # / max penalties<=0, so D0 stands in for D exactly)
+            up_D = jnp.concatenate([top_d[None], D0[:-1]])
+            base = up_D + open_
+            base = base.at[0].set(opt(base[0], top_f + extend)
+                                  if is_affine else base[0])
+            F = _chain_scan(base, ext, is_min)
+            D_new = opt(D0, F)
+            if is_local:
+                D_new = opt(D_new, 0)
+            return (D_new, E_new, top_d), (D_new, F)
 
-        (Pcol, _), cols = jax.lax.scan(
-            col_step, (left_col, corner), (b_block, top))
-        # cols: (C, mb); bottom row = last element of every column
-        return Pcol, cols[:, -1], cols
+        (Dcol, Ecol, _), (cols, Fcols) = jax.lax.scan(
+            col_step, (left_D, left_E, corner),
+            (sub_tile, top_D, top_F))
+        # cols: (C, mb); bottoms = last row of every column
+        return Dcol, Ecol, cols[:, -1], Fcols[:, -1], cols
 
-    def run(a_chunk, b_full, mn):
+    def run(a_chunk, b_full, mn, table):
         d = jax.lax.axis_index("data")
         m, n = mn[0], mn[1]
         row_base = d * mb  # global row index of the chunk's first row - 1
         i_local = jnp.arange(mb, dtype=jnp.int32)
 
-        left0 = gap * (row_base + 1 + i_local)  # D[i][0] boundary
-        corner0 = gap * row_base  # D[row_base][0]
-        state = dict(
-            left=left0.astype(jnp.int32),
-            corner=jnp.int32(corner0),
-            frontier=jnp.zeros(C, jnp.int32),
-            res_col=jnp.zeros(mb, jnp.int32),
-        )
-
         a_chunk = a_chunk.astype(jnp.int32)
         b_full = b_full.astype(jnp.int32)
+
+        if use_table:
+            # one-hot MXU: rowcost[i, c] = table[a_class[i], c] — exact in
+            # f32 (costs are small ints), computed once per device
+            acls = jnp.clip(a_chunk, 0, 31)
+            onehot = (acls[:, None] ==
+                      jnp.arange(32, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+            rowcost = jnp.dot(onehot, table.astype(jnp.float32),
+                              preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        if is_local:
+            left0_D = jnp.zeros(mb, jnp.int32)
+            left0_E = jnp.full(mb, ident // 2, jnp.int32)
+            corner0 = jnp.int32(0)
+        else:
+            left0_D = gbound(row_base + 1 + i_local).astype(jnp.int32)
+            left0_E = left0_D + open_ + (extend if is_affine else open_)
+            corner0 = gbound(row_base).astype(jnp.int32)
+        state = dict(
+            left_D=left0_D, left_E=left0_E, corner=corner0,
+            frontier_D=jnp.zeros(C, jnp.int32),
+            frontier_F=jnp.zeros(C, jnp.int32),
+            res_col=jnp.zeros(mb, jnp.int32),
+            best=jnp.int32(0),
+        )
 
         def macro(state, t):
             j_b = t - d
@@ -102,26 +150,55 @@ def _build_ring(mesh: Mesh, mb: int, C: int, NB: int, match: int,
             col_base = jb * C  # global col of first column - 1
             b_block = jax.lax.dynamic_slice(b_full, (col_base,), (C,))
             cols_iota = col_base + 1 + jnp.arange(C, dtype=jnp.int32)
-            top = jnp.where(d == 0, gap * cols_iota, state["frontier"])
-            corner = jnp.where((d == 0),
-                               gap * col_base, state["corner"])
-            right, bottom, cols = tile(a_chunk, b_block, state["left"], top,
-                                       corner, col_base, row_base)
-            # capture the column holding global col n
+            if is_local:
+                top0_D = jnp.zeros(C, jnp.int32)
+                top0_F = jnp.full(C, ident // 2, jnp.int32)
+                corner_in = jnp.int32(0)
+            else:
+                top0_D = gbound(cols_iota).astype(jnp.int32)
+                top0_F = top0_D + open_ + (extend if is_affine else open_)
+                corner_in = gbound(col_base).astype(jnp.int32)
+            top_D = jnp.where(d == 0, top0_D, state["frontier_D"])
+            top_F = jnp.where(d == 0, top0_F, state["frontier_F"])
+            corner = jnp.where(d == 0, corner_in, state["corner"])
+
+            if use_table:
+                bcls = jnp.clip(b_block, 0, 31)
+                sub_tile = rowcost[:, bcls].T  # (C, mb)
+            else:
+                sub_tile = jnp.where(a_chunk[None, :] == b_block[:, None],
+                                     jnp.int32(match), jnp.int32(mismatch))
+
+            right_D, right_E, bottom_D, bottom_F, cols = tile(
+                sub_tile, state["left_D"], state["left_E"], top_D, top_F,
+                corner)
+            # capture the column holding global col n (for global alignment)
             has_n = active & (col_base < n) & (n <= col_base + C)
             col_n = jnp.sum(jnp.where((cols_iota == n)[:, None], cols, 0), axis=0)
             res_col = jnp.where(has_n, col_n, state["res_col"])
+            # local: best over the tile's VALID cells
+            valid = ((i_local[None, :] + row_base + 1 <= m)
+                     & (cols_iota[:, None] <= n))
+            tile_best = (jnp.max(jnp.where(valid & active, cols, 0))
+                         if not is_min else jnp.int32(0))
             new_state = dict(
-                left=jnp.where(active, right, state["left"]),
-                corner=jnp.where(active, top[C - 1], state["corner"]),
-                frontier=jax.lax.ppermute(
-                    jnp.where(active, bottom, state["frontier"]),
+                left_D=jnp.where(active, right_D, state["left_D"]),
+                left_E=jnp.where(active, right_E, state["left_E"]),
+                corner=jnp.where(active, top_D[C - 1], state["corner"]),
+                frontier_D=jax.lax.ppermute(
+                    jnp.where(active, bottom_D, state["frontier_D"]),
+                    "data", [(k, (k + 1) % D) for k in range(D)]),
+                frontier_F=jax.lax.ppermute(
+                    jnp.where(active, bottom_F, state["frontier_F"]),
                     "data", [(k, (k + 1) % D) for k in range(D)]),
                 res_col=res_col,
+                best=opt(state["best"], tile_best) if is_local else state["best"],
             )
             return new_state, None
 
         state, _ = jax.lax.scan(macro, state, jnp.arange(NB + D - 1))
+        if is_local:
+            return jax.lax.pmax(state["best"], "data")[None]
         # D[m][n] lives at local row (m-1) % mb on device (m-1) // mb
         owner = (m - 1) // mb
         val = jnp.where(d == owner,
@@ -132,31 +209,49 @@ def _build_ring(mesh: Mesh, mb: int, C: int, NB: int, match: int,
 
     return shard_map(
         run, mesh=mesh,
-        in_specs=(P("data"), P(None), P(None)),
+        in_specs=(P("data"), P(None), P(None), P(None, None)),
         out_specs=P("data"), check_vma=False,
     )
 
 
 def ring_wavefront_score(a, b, mesh: Mesh, match: int = 0, mismatch: int = 1,
                          gap: int = 1, objective: str = "min",
+                         locality: str = "global",
+                         table: np.ndarray | None = None,
+                         extend: int | None = None,
                          block_cols: int = 256) -> int:
-    """Global-alignment score of ONE pair sharded across ``mesh``'s ``data``
-    axis (uniform costs, linear gaps). The first operand's rows live one
-    chunk per device; frontiers ride the ring."""
+    """Score of ONE pair's DP sharded across ``mesh``'s ``data`` axis.
+
+    Supports the full single-chip wavefront config space: uniform costs or a
+    32×32 class-cost ``table`` (operands pre-mapped to class ids), linear
+    gaps or Gotoh affine (``gap`` is OPEN and ``extend`` extends), global or
+    ``locality="local"`` (Smith-Waterman) alignment, min/max objective."""
     a = np.asarray(bytearray(a) if isinstance(a, (bytes, bytearray)) else a)
     b = np.asarray(bytearray(b) if isinstance(b, (bytes, bytearray)) else b)
     m, n = len(a), len(b)
+    is_affine = extend is not None
+    is_local = locality == "local"
     if m == 0 or n == 0:
-        return (m + n) * gap
+        if is_local:
+            return 0
+        k = m + n
+        if is_affine:
+            return gap + extend * (k - 1) if k else 0
+        return k * gap
     D = mesh.devices.size
     mb = -(-m // D)
-    C = min(block_cols, max(-(-n // 1), 1))
+    C = min(block_cols, max(n, 1))
     NB = -(-n // C)
     a_pad = np.full(mb * D, -2, dtype=np.int32)
     a_pad[:m] = a
     b_pad = np.full(NB * C, -3, dtype=np.int32)
     b_pad[:n] = b
     mn = np.array([m, n], dtype=np.int32)
-    fn = _build_ring(mesh, mb, C, NB, match, mismatch, gap, objective == "min")
-    out = fn(jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(mn))
+    tab = (np.zeros((32, 32), np.int32) if table is None
+           else np.asarray(table, dtype=np.int32))
+    fn = _build_ring(mesh, mb, C, NB, match, mismatch, gap,
+                     extend if is_affine else 0, objective == "min",
+                     is_affine, is_local, table is not None)
+    out = fn(jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(mn),
+             jnp.asarray(tab))
     return int(np.asarray(out)[0])
