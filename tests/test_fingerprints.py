@@ -103,3 +103,32 @@ def test_minhash_similarity_property(rng):
     sim_far = (h[0] == h[2]).mean()
     assert sim_near > 0.7
     assert sim_far < 0.3
+
+
+def test_fingerprints_reference_golden_vectors():
+    """Bit-identity against vectors generated from the REFERENCE's compiled
+    serial engine (floating_rolling_hashers<serial, 64>; generator harness
+    documented in tests/golden/fingerprint_vectors.json's commit)."""
+    import json
+    import os
+
+    from stringzilla_tpu import Fingerprints
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "fingerprint_vectors.json")
+    cases = json.load(open(path))
+    assert len(cases) >= 30
+    widths = (3, 4, 5, 7, 9, 11, 15, 31)
+    engines = {}
+    for case in cases:
+        nw = case["nwidths"]
+        key = (case["seed"], nw)
+        if key not in engines:
+            engines[key] = Fingerprints(ndim=64 * nw,
+                                        window_widths=widths[:nw],
+                                        seed=case["seed"])
+        doc = bytes(case["doc"])
+        h, c = engines[key]([doc])
+        assert h.shape == (1, 64 * nw)
+        assert list(map(int, h[0])) == case["hashes"], (case["seed"], nw, len(doc))
+        assert list(map(int, c[0])) == case["counts"], (case["seed"], nw, len(doc))
