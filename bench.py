@@ -65,28 +65,33 @@ def main():
 
     q_j, ql_j, c_j, cl_j = args
 
-    def run(feedback):
-        # Thread a (zero) data dependency from the previous result into the
-        # next call: async dispatch queues on this backend can overlap
-        # otherwise-independent executions and inflate the measurement.
-        return myers_pallas(q_j, ql_j, c_j, cl_j + (feedback & 0))
+    def run():
+        return myers_pallas(q_j, ql_j, c_j, cl_j)
 
-    out = run(jnp.int32(0)).block_until_ready()  # compile + warm
-    # sanity: distances bounded by max(len_q, len_c), spot-check one pair
-    assert int(jnp.max(out)) <= max(int(q_lens.max()), int(c_lens.max()))
+    # Timing discipline (round-2 lesson): on the tunneled backend,
+    # ``block_until_ready`` can return before execution completes, and
+    # threaded zero-dependencies (``x & 0``) get constant-folded away — both
+    # silently inflate throughput. The honest protocol: the device executes
+    # enqueued programs in order, so issue back-to-back calls and *pull one
+    # element of the last result to the host*, which cannot complete until
+    # every prior program has.
+    out = run()
+    warm = np.asarray(out)  # compile + warm + real sync
+    # sanity: distances bounded by max(len_q, len_c)
+    assert warm.max() <= max(int(q_lens.max()), int(c_lens.max()))
 
     cells = float(np.outer(q_lens.astype(np.int64), c_lens.astype(np.int64)).sum())
 
-    iters = 0
-    feedback = out[0, 0]
+    # calibrate iteration count from one synced call, then measure in one shot
+    t0 = time.perf_counter()
+    _ = np.asarray(run()[0, 0])
+    per_call = max(time.perf_counter() - t0, 1e-4)
+    iters = max(int(duration / per_call), 3)
+
     start = time.perf_counter()
-    elapsed = 0.0
-    while elapsed < duration:
-        out = run(feedback)
-        feedback = out[0, 0]
-        iters += 1
-        elapsed = time.perf_counter() - start
-    out.block_until_ready()
+    for _ in range(iters):
+        out = run()
+    _ = np.asarray(out[0, 0])  # true completion barrier
     elapsed = time.perf_counter() - start
     gcups = cells * iters / elapsed / 1e9
 

@@ -7,8 +7,8 @@ TPUs have no 64-bit lanes, so each lane word packs **32** query cells; a
 query of length m uses ``W = ceil(m/32)`` words laid down the sublane axis.
 
 Lane packing mirrors ``candidate_lane_walker`` (``serial.hpp:599-613``): one
-candidate per lane (128 per block), the query shared by the whole block. Per
-candidate character the kernel computes
+candidate per lane, the query shared by the whole block. Per candidate
+character the kernel computes
 
     Xv = Eq | VN
     Xh = (((Eq & VP) + VP) ^ VP) | Eq          (carry chained across words)
@@ -17,12 +17,25 @@ candidate character the kernel computes
     Ph = (Ph << 1) | 1;  Mh <<= 1              (bit 31 carried across words)
     VP = Mh | ~(Xv | Ph);  VN = Ph & Xv
 
-entirely in int32 vector registers — ~20 VPU ops per word per step for 32
-lanes × 32 cells each. The match-mask ``Eq`` is built on the fly (no 256-entry
-PEQ gather, which would serialize on the scalar unit): compare the query
-column against the broadcast candidate character, multiply by per-row bit
-values, and sum each 32-row group — all dense vector work, so the same kernel
-serves byte strings and UTF-32 runes.
+entirely in int32 vector registers. The match-mask ``Eq`` is built on the
+fly (no 256-entry PEQ gather, which would serialize on the scalar unit):
+compare the query column against the broadcast candidate character and pack
+each 32-row group of the mask into int32 words with one MXU matmul — dense
+vector work, so the same kernel serves byte strings and UTF-32 runes.
+
+Throughput structure (derived from on-chip ablation, round 2):
+
+* **Query packing.** ``QPACK`` queries are stacked per grid block down the
+  sublane axis — the matmul and the elementwise sweep both amortize better
+  over one taller tile than over more grid steps. Cross-word carries and
+  bit-shifts are masked at the query-group boundaries.
+* **Eq prefetch (software pipeline).** The loop carries the *next* step's
+  packed ``Eq`` so the MXU packing of step j+1 is issued before step j's
+  VPU recurrence consumes ``Eq_j`` — measured ~1.4x on v5e (the matmul
+  otherwise serializes with the carry chain).
+* **Kogge-Stone carries.** The ``(Eq & VP) + VP`` carry ripples across words
+  via a log2(W)-round generate/propagate prefix instead of a W-deep chain,
+  so 128-word (4096-char) queries cost 7 combine rounds.
 
 Unit costs only (match=0, mismatch=open=extend=1) — exactly the
 configurations the reference routes to Myers (``serial.hpp:2620-2720``).
@@ -41,19 +54,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import platform
 
-__all__ = ["myers_pallas", "pick_myers_lane_block"]
+__all__ = ["myers_pallas", "pick_myers_lane_block", "query_pack_of"]
 
 INT_MIN = -(1 << 31)
+
+# Target element count of the per-step equality mask (qpack*rows, lanes) —
+# the empirical sweet spot on v5e (bigger starves the pipeline, smaller
+# leaves matmul latency exposed).
+_EQ_ELEMS = 1 << 18
+
+
+def query_pack_of(words: int) -> int:
+    """Queries stacked per grid block: keep the stacked char rows near 512."""
+    return max(1, min(8, 512 // (32 * max(words, 1))))
 
 
 def pick_myers_lane_block(words: int, cand_len: int,
                           vmem_budget_bytes: int = 6 << 20) -> int:
-    """Lanes per block: state is tiny (2W words), the candidate block and the
-    per-step Eq temporaries dominate."""
-    per_lane = (2 * words + 8) * 4 + cand_len * 4 + words * 32 * 4
-    lanes = vmem_budget_bytes // max(per_lane, 1)
-    lanes = max(128, min(2048, lanes))
-    return 1 << (lanes.bit_length() - 1)
+    """Lanes per block: size the (qpack*rows, lanes) equality mask to
+    ``_EQ_ELEMS`` elements, bounded by the VMEM budget."""
+    qpack = query_pack_of(words)
+    rows = 32 * words * qpack
+    lanes = max(128, min(2048, _EQ_ELEMS // rows))
+    per_lane = (2 * qpack * words + 8) * 4 + cand_len * 4 + rows * 8
+    lanes = min(lanes, max(128, vmem_budget_bytes // max(per_lane, 1)))
+    return 1 << (int(lanes).bit_length() - 1)
 
 
 def _uless(a, b):
@@ -61,56 +86,75 @@ def _uless(a, b):
     return (a ^ INT_MIN) < (b ^ INT_MIN)
 
 
-def _kernel(words: int, cand_len: int, refs):
+def _kernel(words: int, cand_len: int, qpack: int, refs):
     q_ref, qlen_ref, cands_ref, clens_ref, out_ref = refs
-    rows = words * 32
-    q = q_ref[0]  # (rows, 1) int32, padded with -1 beyond qlen
-    m = qlen_ref[0, 0, 0]
+    rows = words * 32  # per query
+    grows = qpack * words  # stacked state rows
+    q = q_ref[0]  # (qpack*rows, 1) int32, padded with -1 beyond qlen
     clens = clens_ref[...]  # (1, lanes)
     lanes = clens.shape[1]
 
-    # Bit-packing matrices for the MXU: S_lo/S_hi[(w, i)] = 2^(i-32w) for the
-    # low/high 16 bits of word w. One-hot-weighted matmuls pack the (rows,
-    # lanes) equality mask into (words, lanes) int32 words. bf16 operands
-    # halve the vector traffic and stay exact: the entries are powers of two
-    # (exactly representable) and the MXU accumulates in f32
-    # (preferred_element_type), so sums of distinct powers < 2^16 are exact.
-    wi = jax.lax.broadcasted_iota(jnp.int32, (words, rows), 0)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (words, rows), 1)
-    rel = ri - wi * 32
-    S_lo = jnp.where((rel >= 0) & (rel < 16),
-                     jnp.left_shift(jnp.int32(1), jnp.clip(rel, 0, 15)),
-                     0).astype(jnp.bfloat16)
-    S_hi = jnp.where((rel >= 16) & (rel < 32),
-                     jnp.left_shift(jnp.int32(1), jnp.clip(rel - 16, 0, 15)),
-                     0).astype(jnp.bfloat16)
-    S_lohi = jnp.concatenate([S_lo, S_hi], axis=0)  # (2*words, rows)
+    # Per-group query lengths from SMEM scalars -> per-state-row vectors.
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (grows, lanes), 0)
+    w_of_row = row_iota % words
+    g_of_row = row_iota // words
+    grp_iota = jax.lax.broadcasted_iota(jnp.int32, (qpack, lanes), 0)
+    m_rows = jnp.zeros((grows, lanes), jnp.int32)
+    m_grp = jnp.zeros((qpack, lanes), jnp.int32)
+    for k in range(qpack):
+        mk = qlen_ref[0, k, 0]
+        m_rows = jnp.where(g_of_row == k, mk, m_rows)
+        m_grp = jnp.where(grp_iota == k, mk, m_grp)
+
+    # Bit-packing matrix for the MXU: block-diagonal per query group;
+    # S[(k, half, w), (k, i)] = 2^(i - 32w - 16*half) over the in-range bits.
+    # One matmul packs the (qpack*rows, lanes) equality mask into
+    # (qpack*2*words, lanes) 16-bit halves. bf16 operands are exact here:
+    # entries are powers of two and the MXU accumulates in f32, so sums of
+    # distinct powers < 2^16 are exact.
+    oi = jax.lax.broadcasted_iota(jnp.int32, (qpack * 2 * words, qpack * rows), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qpack * 2 * words, qpack * rows), 1)
+    o_grp, o_rem = oi // (2 * words), oi % (2 * words)
+    o_half, o_word = o_rem // words, o_rem % words
+    r_grp, r_row = ri // rows, ri % rows
+    rel = r_row - o_word * 32 - o_half * 16
+    S = jnp.where((o_grp == r_grp) & (rel >= 0) & (rel < 16),
+                  jnp.left_shift(jnp.int32(1), jnp.clip(rel, 0, 15)),
+                  0).astype(jnp.bfloat16)
 
     # VP init: bits [0, m) set, per word: full words below m/32, partial at it.
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (words, lanes), 0)
-    in_word = jnp.clip(m - w_iota * 32, 0, 32)
+    in_word = jnp.clip(m_rows - w_of_row * 32, 0, 32)
     VP0 = jnp.where(in_word >= 32, jnp.int32(-1),
                     jnp.left_shift(jnp.int32(1), in_word) - 1)
-    VN0 = jnp.zeros((words, lanes), jnp.int32)
-    score0 = jnp.zeros((1, lanes), jnp.int32) + m
+    VN0 = jnp.zeros((grows, lanes), jnp.int32)
+    score0 = m_grp  # (qpack, lanes)
 
-    # Score-test masks for bit (m-1): word index + in-word bit.
-    top_word = (m - 1) >> 5
-    top_bit = (m - 1) & 31
-    is_top = (w_iota == top_word).astype(jnp.int32)  # (words, lanes)
+    # Score-test masks for bit (m-1) of each group: word index + in-word bit.
+    top_word = (m_rows - 1) >> 5
+    top_bit = jnp.maximum(m_rows - 1, 0) & 31
+    is_top = (w_of_row == top_word).astype(jnp.int32)  # (grows, lanes)
+
+    # Boundary masks for cross-word shifts inside each query group.
+    row_in_word = jax.lax.broadcasted_iota(jnp.int32, (grows, 1), 0) % words
+    first_of_group = row_in_word == 0
+
+    def build_eq(j):
+        """Packed match mask for (1-based) step j; clamped read past the end
+        so the pipelined prefetch of step cand_len+1 stays in bounds."""
+        jc = jnp.minimum(j - 1, cand_len - 1)
+        c_row = cands_ref[pl.ds(jc, 1), :]  # (1, lanes) int32
+        # Padded query rows are -1 and never match a real char/rune.
+        eqf = (q == c_row).astype(jnp.bfloat16)  # (qpack*rows, lanes)
+        lohi = jax.lax.dot_general(S, eqf, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        lohi = lohi.astype(jnp.int32).reshape(qpack, 2, words, lanes)
+        return (lohi[:, 0] | (lohi[:, 1] << 16)).reshape(grows, lanes)
 
     def step(j, carry):
-        VP, VN, score = carry
-        c_row = cands_ref[pl.ds(j - 1, 1), :]  # (1, lanes)
-
-        # Eq: pack 32-row groups of (q == c) into int32 words via one stacked
-        # MXU matmul (lo/hi 16-bit halves share the eqf read). The padded
-        # query rows are -1 and never match a real char.
-        eqf = (q == c_row).astype(jnp.bfloat16)  # (rows, lanes)
-        lohi = jax.lax.dot_general(S_lohi, eqf, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        Eq = (lohi[:words].astype(jnp.int32)
-              | (lohi[words:].astype(jnp.int32) << 16))
+        VP, VN, score, Eq = carry
+        # Software pipeline: issue the MXU packing for step j+1 before the
+        # VPU recurrence of step j — no data dependency between them.
+        Eq_next = build_eq(j + 1)
 
         Xv = Eq | VN
         # (Eq & VP) + VP with the carry rippled across words via a
@@ -122,14 +166,17 @@ def _kernel(words: int, cand_len: int, refs):
         if words == 1:
             s = s1
         else:
-            # carry out of word w: g[w] | (p[w] & co[w-1]) — a parallel
-            # prefix over the (g, p) carry semigroup, log2(words) depth
-            # (Kogge-Stone), so 128-word queries cost 7 combine steps, not 127
-            g = _uless(s1, t).astype(jnp.int32)  # (words, lanes)
+            # Kogge-Stone parallel prefix over the (g, p) carry semigroup:
+            # log2(words) combine rounds, masked at query-group boundaries.
+            g = _uless(s1, t).astype(jnp.int32)  # (grows, lanes)
             p = (s1 == -1).astype(jnp.int32)
+
             def down(X, d):  # X shifted d rows toward higher words, zero fill
-                return jnp.concatenate(
+                shifted = jnp.concatenate(
                     [jnp.zeros((d, lanes), jnp.int32), X[:-d]], axis=0)
+                if qpack == 1:
+                    return shifted
+                return jnp.where(row_in_word >= d, shifted, 0)
 
             d = 1
             while d < words:
@@ -143,16 +190,23 @@ def _kernel(words: int, cand_len: int, refs):
         Ph = VN | ~(Xh | VP)
         Mh = VP & Xh
 
-        ph_top = jnp.sum(is_top * ((Ph >> top_bit) & 1), axis=0, keepdims=True)
-        mh_top = jnp.sum(is_top * ((Mh >> top_bit) & 1), axis=0, keepdims=True)
-        new_score = score + ph_top - mh_top
+        ph_top = jnp.sum((is_top * ((Ph >> top_bit) & 1))
+                         .reshape(qpack, words, lanes), axis=1)
+        mh_top = jnp.sum((is_top * ((Mh >> top_bit) & 1))
+                         .reshape(qpack, words, lanes), axis=1)
+        new_score = score + ph_top - mh_top  # (qpack, lanes)
 
-        # Shift left by one across words; bit 31 of word w feeds bit 0 of w+1.
+        # Shift left by one across words; bit 31 of word w feeds bit 0 of
+        # w+1; bit 0 of each group's word 0 takes the horizontal boundary.
         def shift_up(X, fill0):
-            top = (X >> 31) & 1  # (words, lanes)
+            top = (X >> 31) & 1  # (grows, lanes)
             shifted = X << 1
-            fill = jnp.full((1, lanes), fill0, jnp.int32)
-            prev = fill if words == 1 else jnp.concatenate([fill, top[:-1]], axis=0)
+            prev = jnp.concatenate(
+                [jnp.zeros((1, lanes), jnp.int32), top[:-1]], axis=0)
+            if fill0:
+                prev = jnp.where(first_of_group, fill0, prev)
+            elif qpack > 1:
+                prev = jnp.where(first_of_group, 0, prev)
             return shifted | prev
 
         Ph = shift_up(Ph, 1)  # the reference's horizontal boundary D[0][j]=j
@@ -164,30 +218,37 @@ def _kernel(words: int, cand_len: int, refs):
         VP = jnp.where(live, VP_new, VP)
         VN = jnp.where(live, VN_new, VN)
         score = jnp.where(live, new_score, score)
-        return VP, VN, score
+        return VP, VN, score, Eq_next
 
-    _, _, score = jax.lax.fori_loop(1, cand_len + 1, step, (VP0, VN0, score0))
+    _, _, score, _ = jax.lax.fori_loop(
+        1, cand_len + 1, step, (VP0, VN0, score0, build_eq(1)))
     # Degenerate empty query: distance is the candidate length (all inserts).
-    out_ref[0] = jnp.where(m == 0, clens, score)
+    out_ref[0] = jnp.where(m_grp == 0, jnp.broadcast_to(clens, (qpack, lanes)),
+                           score)
 
 
 @functools.lru_cache(maxsize=256)
-def _build(words: int, cand_len: int, n_queries: int, n_cands: int,
-           lane_block: int, interpret: bool):
-    grid = (n_queries, n_cands // lane_block)
+def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
+           lane_block: int, qpack: int, interpret: bool):
+    grid = (n_qblocks, n_cands // lane_block)
     rows = words * 32
 
     in_specs = [
-        pl.BlockSpec((1, rows, 1), lambda qi, cb: (qi, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda qi, cb: (qi, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((cand_len, lane_block), lambda qi, cb: (0, cb), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lane_block), lambda qi, cb: (0, cb), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qpack * rows, 1), lambda qi, cb: (qi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qpack, 1), lambda qi, cb: (qi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((cand_len, lane_block), lambda qi, cb: (0, cb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lane_block), lambda qi, cb: (0, cb),
+                     memory_space=pltpu.VMEM),
     ]
 
-    kernel = functools.partial(_kernel, words, cand_len)
+    kernel = functools.partial(_kernel, words, cand_len, qpack)
     cost = pl.CostEstimate(
-        flops=25 * words * cand_len * lane_block,
-        bytes_accessed=(rows * 4 + cand_len * lane_block * 4 + lane_block * 4),
+        flops=25 * qpack * words * cand_len * lane_block,
+        bytes_accessed=(qpack * rows * 4 + cand_len * lane_block * 4
+                        + qpack * lane_block * 4),
         transcendentals=0,
     )
 
@@ -196,13 +257,15 @@ def _build(words: int, cand_len: int, n_queries: int, n_cands: int,
             lambda *refs: kernel(refs),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, lane_block), lambda qi, cb: (qi, 0, cb),
+            out_specs=pl.BlockSpec((1, qpack, lane_block),
+                                   lambda qi, cb: (qi, 0, cb),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_queries, 1, n_cands), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_qblocks, qpack, n_cands),
+                                           jnp.int32),
             cost_estimate=cost,
             interpret=interpret,
         )(queries_3d, qlens_3d, cands_t, clens)
-        return out.reshape(n_queries, n_cands)
+        return out.reshape(n_qblocks * qpack, n_cands)
 
     return jax.jit(wrapped)
 
@@ -217,7 +280,8 @@ def myers_pallas(
     """All-pairs unit-cost edit distances ``(n_queries, n_cands) int32``.
 
     ``rows32`` must be a multiple of 32; queries longer than rows32 are a
-    caller error. Lanes whose candidate is empty return ``qlen`` (all-gap)."""
+    caller error. Lanes whose candidate is empty return ``qlen`` (all-gap).
+    Chars may be bytes or UTF-32 runes (any non-negative int32 values)."""
     rows, n_queries = q_t.shape
     assert rows % 32 == 0
     words = rows // 32
@@ -227,7 +291,17 @@ def myers_pallas(
     lane_block = min(lane_block, n_cands)
     if n_cands % lane_block:
         raise ValueError(f"n_cands {n_cands} not a multiple of lane_block {lane_block}")
-    call = _build(words, cand_len, n_queries, n_cands, lane_block,
-                  platform.pallas_interpret())
-    queries_3d = q_t.T.reshape(n_queries, rows, 1)
-    return call(queries_3d, qlens.reshape(n_queries, 1, 1), cands_t, clens)
+    qpack = query_pack_of(words)
+    n_qpad = -(-n_queries // qpack) * qpack
+    if n_qpad != n_queries:
+        q_t = jnp.concatenate(
+            [q_t, jnp.full((rows, n_qpad - n_queries), -1, jnp.int32)], axis=1)
+        qlens = jnp.concatenate(
+            [jnp.asarray(qlens), jnp.zeros((n_qpad - n_queries, 1), jnp.int32)],
+            axis=0)
+    call = _build(words, cand_len, n_qpad // qpack, n_cands, lane_block,
+                  qpack, platform.pallas_interpret())
+    queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
+    out = call(queries_3d, jnp.asarray(qlens).reshape(n_qpad // qpack, qpack, 1),
+               cands_t, clens)
+    return out[:n_queries]
