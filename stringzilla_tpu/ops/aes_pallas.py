@@ -35,20 +35,25 @@ from .hash import PI, SBOX
 
 __all__ = ["aes_round", "fill_random_device"]
 
-# S-box packed 4 entries per u32 word (little-endian), as int32 bit patterns.
-_SBOX_WORDS = (
-    SBOX.reshape(64, 4).astype(np.uint32) @
-    np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
-).view(np.int32)
+# S-box as two 128-entry lane planes for the in-vreg lane gather.
+_SBOX_LANES = SBOX.reshape(2, 128).astype(np.int32)
 
 
-def _sub_bytes(x: jnp.ndarray, sbox_words: jnp.ndarray) -> jnp.ndarray:
-    """S-box substitution on int32 byte values via a 64-word select ladder."""
-    widx = x >> 2
-    word = jnp.zeros(x.shape, jnp.int32)
-    for w in range(64):
-        word = jnp.where(widx == w, sbox_words[w], word)
-    return (word >> ((x & 3) << 3)) & 0xFF
+def _sub_bytes(x: jnp.ndarray, sbox_lanes: jnp.ndarray) -> jnp.ndarray:
+    """S-box substitution on int32 byte values via Mosaic's in-register lane
+    gather (the TPU analog of AVX-512 VPERMB): two 128-entry shuffles + one
+    select. ``sbox_lanes`` is the (2, 128) plane table. The gather requires
+    the minor axis to be exactly 128 lanes, so wider arrays are viewed as
+    (rows*L/128, 128) for the substitution (a cheap lane-split relayout)."""
+    rows, L = x.shape
+    x2 = x if L == 128 else x.reshape(rows * L // 128, 128)
+    lo = jnp.broadcast_to(sbox_lanes[0:1, :], x2.shape)
+    hi = jnp.broadcast_to(sbox_lanes[1:2, :], x2.shape)
+    i7 = x2 & 127
+    a = jnp.take_along_axis(lo, i7, axis=1)
+    b = jnp.take_along_axis(hi, i7, axis=1)
+    y = jnp.where(x2 < 128, a, b)
+    return y if L == 128 else y.reshape(rows, L)
 
 
 def _roll0(x: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
@@ -60,14 +65,14 @@ def _roll0(x: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
     return pltpu.roll(x, shift % x.shape[0], axis=0)
 
 
-def aes_round(state: jnp.ndarray, key: jnp.ndarray, sbox_words: jnp.ndarray,
+def aes_round(state: jnp.ndarray, key: jnp.ndarray, sbox_lanes: jnp.ndarray,
               interpret: bool) -> jnp.ndarray:
     """One AESENC round on ``(16, lanes)`` int32 byte planes (values 0..255):
     SubBytes ∘ ShiftRows ∘ MixColumns ⊕ key, bit-identical to
     ``ops.hash.aesenc``."""
     rows = jax.lax.broadcasted_iota(jnp.int32, state.shape, 0)
 
-    sub = _sub_bytes(state, sbox_words)
+    sub = _sub_bytes(state, sbox_lanes)
 
     # shifted[p] = sub[(5p) % 16] = roll down by (4p % 16) ∈ {0,4,8,12}
     r4 = _roll0(sub, -4, interpret)
@@ -125,17 +130,9 @@ def _fill_kernel(interpret: bool, refs):
     nbyte = (nword >> ((rows & 3) << 3)) & 0xFF
     key = pib ^ nbyte
 
-    # SubBytes ladder with the packed S-box words read from SMEM
     state = inp
-
-    def sub_bytes(x):
-        word = jnp.zeros(x.shape, jnp.int32)
-        for w in range(64):
-            word = jnp.where((x >> 2) == w, sbox_ref[0, w], word)
-        return (word >> ((x & 3) << 3)) & 0xFF
-
     rows_i = rows
-    sub = sub_bytes(state)
+    sub = _sub_bytes(state, sbox_ref[...])
     r4 = _roll0(sub, -4, interpret)
     r8 = _roll0(sub, -8, interpret)
     r12 = _roll0(sub, -12, interpret)
@@ -164,7 +161,7 @@ def _build_fill(n_lanes_total: int, lane_block: int, interpret: bool):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((16, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((16, lane_block), lambda i: (0, i),
@@ -186,7 +183,7 @@ def fill_random_device(length: int, nonce: int = 0) -> jnp.ndarray:
     total = max(-(-n_blocks // lane_block), 1) * lane_block
     nonce_arr = np.array([[nonce & 0xFFFFFFFF, (nonce >> 32) & 0xFFFFFFFF]],
                          dtype=np.uint32).view(np.int32)
-    sbox = _SBOX_WORDS.reshape(1, 64)
+    sbox = _SBOX_LANES
     # PI byte planes: pib[b, v] = byte b of (PI[2v], PI[2v+1]) pair
     pi_bytes = PI[:8].astype("<u8").view(np.uint8).reshape(4, 16)
     pib = np.ascontiguousarray(pi_bytes.T).astype(np.int32)  # (16, 4)

@@ -7,7 +7,7 @@ block count (1..4 for the ≤64 B short path — the overwhelming majority of
 tokens), packed bytes-down-sublanes / tokens-across-lanes ``(16·B, lanes)``,
 and every AES round advances every lane together:
 
-* AESENC with the select-ladder S-box; every fixed byte permutation
+* AESENC with the in-vreg lane-gather S-box; every fixed byte permutation
   (ShiftRows routing, MixColumns rotations, the sum lane's shuffle) lowers
   to sublane rolls + row selects (single-row vector slices crash Mosaic's
   layout pass);
@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import native, platform
-from .aes_pallas import _SBOX_WORDS
+from .aes_pallas import _SBOX_LANES, _sub_bytes as _sbox_gather
 from .hash import PI, SHUFFLE, sz_hash
 
 __all__ = ["hash_tokens_device", "hash_tokens_raw", "hash_batch_device"]
@@ -72,10 +72,8 @@ def _permute16(X: jnp.ndarray, perm, rows, interpret: bool) -> jnp.ndarray:
 
 
 def _sub_bytes(x: jnp.ndarray, sbox_ref) -> jnp.ndarray:
-    word = jnp.zeros(x.shape, jnp.int32)
-    for w in range(64):
-        word = jnp.where((x >> 2) == w, sbox_ref[0, w], word)
-    return (word >> ((x & 3) << 3)) & 0xFF
+    """AES SubBytes via the in-vreg lane gather (``aes_pallas._sub_bytes``)."""
+    return _sbox_gather(x, sbox_ref[...])
 
 
 _SHIFTROWS = [(5 * p) % 16 for p in range(16)]
@@ -84,27 +82,34 @@ _ROT2 = [p - (p & 3) + ((p + 2) & 3) for p in range(16)]
 
 
 def _aesenc16(state, key, sbox_ref, rows, interpret):
-    """AESENC on (16, L) byte planes — same math as ``ops.hash.aesenc``."""
-    shifted = _permute16(_sub_bytes(state, sbox_ref), _SHIFTROWS, rows, interpret)
-    rot = _permute16(shifted, _ROT1, rows, interpret)
-    grp = shifted ^ rot
-    two = _permute16(grp, _ROT2, rows, interpret)
-    xor_all = grp ^ two
-    dbl = ((grp << 1) ^ (((grp >> 7) & 1) * 0x1B)) & 0xFF
-    return (shifted ^ xor_all ^ dbl) ^ key
+    """AESENC on (16, L) byte planes — same math as ``ops.hash.aesenc``.
+    Delegates to ``aes_pallas.aes_round`` (roll+select ShiftRows routing,
+    lane-gather SubBytes)."""
+    from .aes_pallas import aes_round
+
+    return aes_round(state, key, sbox_ref[...], interpret)
 
 
 def _add_u64_bytes(A, B, rows, interpret):
     """(16, L) + (16, L) as two little-endian u64 lanes (rows 0-7, 8-15):
-    byte-wise add + ripple carry (7 passes bound the carry distance)."""
-    s = A + B
-    head = (rows & 7) == 0  # carries do not cross u64 boundaries
-    for _ in range(7):
-        carry = (s >> 8) & 1
-        carry_in = _row_roll(carry, -1, interpret)  # carry_in[p] = carry[p-1]
-        carry_in = jnp.where(head, 0, carry_in)
-        s = (s & 0xFF) + carry_in
-    return s & 0xFF
+    byte-wise add with a Kogge-Stone carry prefix — 3 combine rounds over
+    the 8-byte groups instead of a 7-pass ripple."""
+    s = A + B  # 9-bit sums
+    in_grp = rows & 7  # byte position within its u64
+
+    def down(X, d):  # X[p-d], zeroed where the shift crosses a u64 head
+        shifted = _row_roll(X, -d, interpret)
+        return jnp.where(in_grp >= d, shifted, 0)
+
+    g = s >> 8  # generates a carry
+    p = ((s & 0xFF) == 0xFF).astype(jnp.int32)  # propagates one
+    d = 1
+    while d < 8:
+        g = g | (p & down(g, d))
+        p = p & down(p, d)
+        d *= 2
+    c_in = down(g, 1)  # carry INTO byte p
+    return (s + c_in) & 0xFF
 
 
 def _sum_update16(summ, data, rows, interpret):
@@ -163,7 +168,7 @@ def _build(n_blocks: int, n_lanes: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, LANES_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 64), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((16, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((16, LANES_BLOCK), lambda i: (0, i),
@@ -186,7 +191,7 @@ def hash_tokens_raw(data2d, lengths, seed: int, n_blocks: int):
     pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)
     call = _build(n_blocks, int(data2d.shape[1]), platform.pallas_interpret())
     return call(data2d, lengths.reshape(1, -1), jnp.asarray(seed_arr),
-                jnp.asarray(_SBOX_WORDS.reshape(1, 64)), jnp.asarray(pib))
+                jnp.asarray(_SBOX_LANES), jnp.asarray(pib))
 
 
 def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
@@ -207,7 +212,7 @@ def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
     pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)  # (16, 2)
     call = _build(n_blocks, total, platform.pallas_interpret())
     out = np.asarray(call(jnp.asarray(data2d), jnp.asarray(lengths).reshape(1, -1),
-                          jnp.asarray(seed_arr), jnp.asarray(_SBOX_WORDS.reshape(1, 64)),
+                          jnp.asarray(seed_arr), jnp.asarray(_SBOX_LANES),
                           jnp.asarray(pib)))
     # out is (16, n) byte planes; the digest is the first 8 bytes LE
     b = out[:8, :n].astype(np.uint64)
