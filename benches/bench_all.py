@@ -30,20 +30,26 @@ DURATION = 4.0
 
 
 def timed(fn, *args):
-    """Per-iteration sync by pulling ONE element of the result to host —
-    plain block_until_ready can overlap independent dispatches on tunneled
-    backends and inflate rates (see BENCH_NOTES.md)."""
+    """Honest throughput timing on the tunneled backend: the device executes
+    enqueued programs in order, so issue back-to-back calls and pull one
+    element of the LAST result to host — that pull cannot complete before
+    every prior program has. (block_until_ready can return early here, and
+    threaded zero-dependencies get constant-folded; see BENCH_NOTES.md.)"""
 
-    def sync(x):
+    def pull(x):
         if hasattr(x, "ravel"):  # jax array
             np.asarray(x.ravel()[0])
-        return x
 
-    sync(fn(*args))  # compile/warm
-    iters, t0 = 0, time.perf_counter()
-    while time.perf_counter() - t0 < DURATION:
-        sync(fn(*args))
-        iters += 1
+    pull(fn(*args))  # compile/warm + sync
+    t0 = time.perf_counter()
+    pull(fn(*args))
+    per_call = max(time.perf_counter() - t0, 1e-5)
+    iters = max(int(DURATION / per_call), 2)
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    pull(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,14 +59,20 @@ def emit(metric, value, unit, baseline):
 
 
 def bench_find(rng):
+    import jax
     import jax.numpy as jnp
 
     from stringzilla_tpu.ops.find_pallas import search_positions
 
     N = 1 << 30
-    hay = rng.integers(97, 123, N, dtype=np.uint8)
-    hay[N - 4096 : N - 4091] = np.frombuffer(b"XqZwV", np.uint8)
-    H = jnp.asarray(hay.reshape(-1, 128))
+    # generate on device — a 1 GiB host->device transfer through the tunnel
+    # would dominate the setup time
+    H = jax.random.randint(jax.random.PRNGKey(42), (N // 128, 128), 97, 123,
+                           dtype=jnp.int32).astype(jnp.uint8)
+    row, col = (N - 4096) // 128, (N - 4096) % 128
+    H = H.at[row, col : col + 5].set(
+        jnp.asarray(np.frombuffer(b"XqZwV", np.uint8)))
+    H.block_until_ready()
     needle = np.frombuffer(b"XqZwV", np.uint8)
     dt = timed(lambda: search_positions(H, N, "first", needle=needle))
     emit("substring_find", N / dt / 1e9, "GB/s", 10.6)
@@ -76,8 +88,12 @@ def bench_lookup(rng):
 
     from stringzilla_tpu.ops.memory_pallas import lookup_transform
 
-    N = 1 << 28
-    data = jnp.asarray(rng.integers(0, 256, N, dtype=np.uint8).reshape(-1, 128))
+    import jax
+
+    N = 1 << 30
+    data = jax.random.randint(jax.random.PRNGKey(7), (N // 128, 128), 0, 256,
+                              dtype=jnp.int32).astype(jnp.uint8)
+    data.block_until_ready()
     lut = np.frombuffer(bytes(range(256)).swapcase(), np.uint8)
     dt = timed(lambda: lookup_transform(data, N, lut))
     emit("lookup_transform", N / dt / 1e9, "GB/s", 21.2)
@@ -179,9 +195,27 @@ BENCHES = {
 
 def main():
     filt = sys.argv[1] if len(sys.argv) > 1 else ""
+    if not filt:
+        # Full pass: one subprocess per metric so a single failure, OOM, or
+        # compile-cache blowup cannot take down the suite, and each metric
+        # starts from a cold JAX client (no cross-metric VMEM pressure).
+        import subprocess
+
+        here = os.path.abspath(__file__)
+        for name in BENCHES:
+            proc = subprocess.run([sys.executable, here, name],
+                                  capture_output=True, text=True, timeout=1200)
+            rows = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if rows:
+                print("\n".join(rows), flush=True)
+            else:
+                err = (proc.stderr or "no output").strip().splitlines()
+                print(json.dumps({"metric": name, "error": err[-1][:200]}),
+                      flush=True)
+        return
     rng = np.random.default_rng(42)
     for name, fn in BENCHES.items():
-        if filt and filt not in name:
+        if filt not in name:
             continue
         try:
             fn(rng)

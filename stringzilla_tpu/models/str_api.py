@@ -306,6 +306,79 @@ class Str:
             pos += len(p)
         return Strs._from_views(self, bounds)
 
+    # -- lazy iterator ranges (C++ sugar analogs) -----------------------------
+    # Reference: allocation-free ``find_matches_view`` / ``rfind_matches_view``
+    # / ``find_splits_view`` / ``rfind_splits_view``
+    # (``include/stringzilla/stringzilla.hpp:543-875``) and the Python
+    # binding's ``split_iter`` / ``rsplit_iter`` (``python/stringzilla.c``).
+    # Each ``next()`` runs one accelerated ``find``/``rfind`` — no upfront
+    # materialization of the match list.
+
+    def find_all(self, needle, allowoverlap: bool = False):
+        """Lazy iterator of match offsets, left to right
+        (``find_matches_view``, reference ``stringzilla.hpp:543``)."""
+        nd = _needle_bytes(needle)
+        if not nd:
+            return
+        pos = 0
+        while True:
+            i = self.find(nd, pos)
+            if i < 0:
+                return
+            yield i
+            pos = i + (1 if allowoverlap else len(nd))
+
+    def rfind_all(self, needle, allowoverlap: bool = False):
+        """Lazy iterator of match offsets, right to left
+        (``rfind_matches_view``, reference ``stringzilla.hpp:634``)."""
+        nd = _needle_bytes(needle)
+        if not nd:
+            return
+        end = len(self)
+        while end >= len(nd):
+            i = self.rfind(nd, 0, end)
+            if i < 0:
+                return
+            yield i
+            end = i + (len(nd) - 1 if allowoverlap else 0)
+
+    def split_iter(self, separator=b" ", keepseparator: bool = False):
+        """Lazy split on an exact separator, yielding zero-copy ``Str`` views
+        (binding ``Str.split_iter``; ``find_splits_view``,
+        reference ``stringzilla.hpp:742``)."""
+        sep = _needle_bytes(separator)
+        if not sep:
+            yield self[:]
+            return
+        start = 0
+        while True:
+            i = self.find(sep, start)
+            if i < 0:
+                yield self[start:]
+                return
+            yield self[start : i + (len(sep) if keepseparator else 0)]
+            start = i + len(sep)
+
+    def rsplit_iter(self, separator=b" ", keepseparator: bool = False):
+        """Lazy split from the right (binding ``Str.rsplit_iter``;
+        ``rfind_splits_view``, reference ``stringzilla.hpp:875``). Parts come
+        right to left; with ``keepseparator`` each non-rightmost part keeps
+        its trailing separator (same convention as ``rsplit``)."""
+        sep = _needle_bytes(separator)
+        if not sep:
+            yield self[:]
+            return
+        end_body = len(self)  # body end (excl.) of the upcoming part
+        extra = 0  # trailing separator bytes (0 only for the rightmost part)
+        while True:
+            i = self.rfind(sep, 0, end_body)
+            if i < 0:
+                yield self[0 : end_body + extra]
+                return
+            yield self[i + len(sep) : end_body + extra]
+            end_body = i
+            extra = len(sep) if keepseparator else 0
+
     def partition(self, separator):
         sep = _needle_bytes(separator)
         i = self.find(sep)

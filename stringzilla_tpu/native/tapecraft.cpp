@@ -356,6 +356,109 @@ int64_t tc_utf8_fold_bytes(const uint8_t* data, int64_t n,
     return o;
 }
 
-int tc_version(void) { return 2; }
+// ---------------------------------------------------------------------------
+// Case-insensitive substring search, folding on the fly (reference design:
+// sz_utf8_uncased_search, include/stringzilla/utf8_uncased.h:957 — the
+// haystack is never materialized in folded form). Returns 1 and fills
+// (*out_off, *out_len) with the byte span in the ORIGINAL haystack on a
+// match; 0 otherwise. `nd` is the needle's folded rune sequence. Matches may
+// start/end inside a multi-rune fold expansion (spans cover whole source
+// runes), mirroring the array-based Python fallback's semantics.
+
+static inline int64_t tc_fold_one(uint32_t r, const uint32_t* fold1,
+                                  const uint32_t* mkeys, const int64_t* moffs,
+                                  const uint32_t* mvals, int64_t mcount,
+                                  uint32_t out[4]) {
+    uint32_t f = r < 0x110000u ? fold1[r] : r;
+    if (f != 0xFFFFFFFFu) { out[0] = f; return 1; }
+    int64_t lo = 0, hi = mcount;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
+    }
+    int64_t o = 0;
+    for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v) out[o++] = mvals[v];
+    return o;
+}
+
+// Verify a candidate match: folded comparison of nd[0..k) starting at byte
+// `i`, skipping the first `skip` folded elements of the rune at `i`.
+// On success sets *end_byte to the exclusive byte end of the last source rune.
+static int tc_uncased_verify(const uint8_t* data, int64_t i, int64_t n,
+                             int64_t skip, const uint32_t* nd, int64_t k,
+                             const uint32_t* fold1, const uint32_t* mkeys,
+                             const int64_t* moffs, const uint32_t* mvals,
+                             int64_t mcount, int64_t* end_byte) {
+    int64_t matched = 0, pos = i;
+    while (matched < k) {
+        if (pos >= n) return 0;
+        uint32_t r;
+        int64_t used;
+        if (data[pos] < 0x80) { r = data[pos]; used = 1; }
+        else used = tc_decode_one(data, pos, n, &r);
+        uint32_t f[4];
+        int64_t m = tc_fold_one(r, fold1, mkeys, moffs, mvals, mcount, f);
+        for (int64_t e = skip; e < m && matched < k; ++e)
+            if (f[e] != nd[matched++]) return 0;
+        skip = 0;
+        pos += used;
+    }
+    *end_byte = pos;
+    return 1;
+}
+
+int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
+                         int64_t k, int64_t start_rune, const uint32_t* fold1,
+                         const uint32_t* mkeys, const int64_t* moffs,
+                         const uint32_t* mvals, int64_t mcount,
+                         int64_t* out_off, int64_t* out_len) {
+    if (k == 0) { *out_off = 0; *out_len = 0; return 1; }
+    uint32_t first = nd[0];
+    int first_is_ascii = first < 0x80;
+    uint8_t c1 = (uint8_t)first;
+    uint8_t c2 = (first >= 'a' && first <= 'z') ? (uint8_t)(first - 32) : c1;
+    int64_t i = 0, fr = 0;  // byte cursor, folded-rune counter
+    while (i < n) {
+        if (data[i] < 0x80) {
+            int64_t run_end = tc_ascii_run(data, i, n);
+            if (!first_is_ascii) { fr += run_end - i; i = run_end; continue; }
+            for (int64_t j = i; j < run_end; ++j) {
+                uint8_t b = data[j];
+                if ((b == c1 || b == c2) && fr + (j - i) >= start_rune) {
+                    int64_t end;
+                    if (tc_uncased_verify(data, j, n, 0, nd, k, fold1, mkeys,
+                                          moffs, mvals, mcount, &end)) {
+                        *out_off = j;
+                        *out_len = end - j;
+                        return 1;
+                    }
+                }
+            }
+            fr += run_end - i;
+            i = run_end;
+            continue;
+        }
+        uint32_t r;
+        int64_t used = tc_decode_one(data, i, n, &r);
+        uint32_t f[4];
+        int64_t m = tc_fold_one(r, fold1, mkeys, moffs, mvals, mcount, f);
+        for (int64_t e = 0; e < m; ++e) {
+            if (f[e] == first && fr + e >= start_rune) {
+                int64_t end;
+                if (tc_uncased_verify(data, i, n, e, nd, k, fold1, mkeys,
+                                      moffs, mvals, mcount, &end)) {
+                    *out_off = i;
+                    *out_len = end - i;
+                    return 1;
+                }
+            }
+        }
+        fr += m;
+        i += used;
+    }
+    return 0;
+}
+
+int tc_version(void) { return 3; }
 
 }  // extern "C"

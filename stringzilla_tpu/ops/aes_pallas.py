@@ -56,13 +56,29 @@ def _sub_bytes(x: jnp.ndarray, sbox_lanes: jnp.ndarray) -> jnp.ndarray:
     return y if L == 128 else y.reshape(rows, L)
 
 
-def _roll0(x: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
-    """Circular roll along axis 0 (sublanes)."""
+def _roll_full(x: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
     if shift % x.shape[0] == 0:
         return x
     if interpret:
         return jnp.roll(x, shift, axis=0)
     return pltpu.roll(x, shift % x.shape[0], axis=0)
+
+
+def _roll0(x: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
+    """Circular roll within each 16-row group along axis 0. For a single
+    group it is one hardware roll; for stacked groups (e.g. the long-path
+    hash's four AES lanes as 64 rows) it is two full rolls + one select."""
+    n = x.shape[0]
+    s = shift % 16
+    if s == 0:
+        return x
+    if n == 16:
+        return _roll_full(x, shift, interpret)
+    # out[g*16+b] = x[g*16 + (b - s) % 16]
+    r1 = _roll_full(x, s, interpret)       # right for b >= s
+    r2 = _roll_full(x, s - 16, interpret)  # right for b < s
+    b = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % 16
+    return jnp.where(b >= s, r1, r2)
 
 
 def aes_round(state: jnp.ndarray, key: jnp.ndarray, sbox_lanes: jnp.ndarray,

@@ -46,13 +46,11 @@ def _uless(a, b):
 
 
 def _row_roll(X: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
-    """Circular roll along the 16-row axis; out[p] = X[(p + shift) % 16]."""
-    s = shift % 16
-    if s == 0:
-        return X
-    if interpret:
-        return jnp.roll(X, -s, axis=0)
-    return pltpu.roll(X, 16 - s, axis=0)
+    """Circular roll within 16-row groups; out[g*16+p] = X[g*16+(p+shift)%16]
+    (grouped so the long path's four stacked AES lanes roll independently)."""
+    from .aes_pallas import _roll0
+
+    return _roll0(X, -shift, interpret)
 
 
 def _permute16(X: jnp.ndarray, perm, rows, interpret: bool) -> jnp.ndarray:
@@ -220,16 +218,143 @@ def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
     return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
 
 
+def _kernel_long(ncm: int, interpret: bool, refs):
+    """Long path (> 64 B): 512-bit state as four stacked AES lanes (64 rows),
+    absorbing one 64-byte chunk per unrolled step (live-masked per lane so
+    one kernel serves a dyadic chunk-count bucket), the deferred final block
+    at fixed rows [64*ncm, 64*ncm+64), then the reference's lane-collapse
+    finalization (``hash/serial.h:443-500``)."""
+    data_ref, len_ref, chunks_ref, seed_ref, sbox_ref, pi8_ref, out_ref = refs
+    L = len_ref.shape[1]
+    rows64 = jax.lax.broadcasted_iota(jnp.int32, (64, L), 0)
+    rows64_16 = rows64 % 16
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, L), 0)
+
+    aes = jnp.broadcast_to(pi8_ref[:, 0:1], (64, L)).astype(jnp.int32)
+    summ = jnp.broadcast_to(pi8_ref[:, 1:2], (64, L)).astype(jnp.int32)
+    chunks = chunks_ref[...]  # (1, L) full-chunk count per lane
+
+    for c in range(ncm):
+        blk = data_ref[c * 64 : (c + 1) * 64, :]
+        live = c < chunks
+        aes = jnp.where(live, _aesenc16(aes, blk, sbox_ref, rows64, interpret), aes)
+        summ = jnp.where(live, _sum_update16(summ, blk, rows64_16, interpret), summ)
+
+    # Deferred (zero-padded) final block, fixed position for every lane.
+    ins = data_ref[ncm * 64 : (ncm + 1) * 64, :]
+    lanes_aes = _aesenc16(aes, ins, sbox_ref, rows64, interpret)
+    lanes_sum = _sum_update16(summ, ins, rows64_16, interpret)
+    mixed = _aesenc16(lanes_sum, lanes_aes, sbox_ref, rows64, interpret)
+
+    m01 = _aesenc16(mixed[0:16], mixed[16:32], sbox_ref, rows16, interpret)
+    m23 = _aesenc16(mixed[32:48], mixed[48:64], sbox_ref, rows16, interpret)
+    mall = _aesenc16(m01, m23, sbox_ref, rows16, interpret)
+
+    # key_with_length byte plane (same as the short kernel).
+    seed_lo = seed_ref[0, 0]
+    seed_hi = seed_ref[0, 1]
+    ln = len_ref[...]
+    kw_lo = seed_lo + ln
+    kw_carry = _uless(kw_lo, jnp.broadcast_to(seed_lo, kw_lo.shape)).astype(jnp.int32)
+    kw_hi = seed_hi + kw_carry
+    word = jnp.where(rows16 < 4, kw_lo,
+            jnp.where(rows16 < 8, kw_hi,
+             jnp.where(rows16 < 12, seed_lo, seed_hi)))
+    kwl = (word >> ((rows16 & 3) << 3)) & 0xFF
+
+    out_ref[...] = _aesenc16(_aesenc16(mall, kwl, sbox_ref, rows16, interpret),
+                             mall, sbox_ref, rows16, interpret)
+
+
+def _pick_long_lanes(ncm: int) -> int:
+    lanes = (4 << 20) // (64 * (ncm + 1) * 4)
+    lanes = max(128, min(1024, lanes))
+    return 1 << (lanes.bit_length() - 1)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_long(ncm: int, n_lanes: int, lanes_block: int, interpret: bool):
+    grid = (n_lanes // lanes_block,)
+    kernel = functools.partial(_kernel_long, ncm, interpret)
+
+    def wrapped(data, lens, chunks, seed, sbox, pi8):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((64 * (ncm + 1), lanes_block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes_block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes_block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, lanes_block), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((16, n_lanes), jnp.int32),
+            interpret=interpret,
+        )(data, lens, chunks, seed, sbox, pi8)
+
+    return jax.jit(wrapped)
+
+
+def hash_long_device(items: list[bytes], seed: int, ncm: int) -> np.ndarray:
+    """Hash strings > 64 B on device, bucketed to ``ncm`` max full chunks.
+    Returns u64 digests in input order (bit-identical to ``sz_hash``)."""
+    n = len(items)
+    lanes_block = _pick_long_lanes(ncm)
+    total = max(-(-n // lanes_block), 1) * lanes_block
+    data = np.zeros((64 * (ncm + 1), total), np.uint8)
+    lengths = np.zeros(total, np.int32)
+    chunks = np.zeros(total, np.int32)
+    for i, s in enumerate(items):
+        ln = len(s)
+        c = (ln - 1) // 64
+        buf = np.frombuffer(s, np.uint8)
+        data[: c * 64, i] = buf[: c * 64]
+        data[ncm * 64 : ncm * 64 + (ln - c * 64), i] = buf[c * 64 :]
+        lengths[i] = ln
+        chunks[i] = c
+    seed_arr = np.array([[seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF]],
+                        dtype=np.uint32).view(np.int32)
+    with np.errstate(over="ignore"):
+        aes8 = (np.uint64(seed) ^ PI[:8]).astype("<u8").view(np.uint8)
+        sum8 = (np.uint64(seed) ^ PI[8:]).astype("<u8").view(np.uint8)
+    pi8 = np.stack([aes8, sum8], axis=1).astype(np.int32)  # (64, 2)
+    call = _build_long(ncm, total, lanes_block, platform.pallas_interpret())
+    out = np.asarray(call(jnp.asarray(data.astype(np.int32)),
+                          jnp.asarray(lengths).reshape(1, -1),
+                          jnp.asarray(chunks).reshape(1, -1),
+                          jnp.asarray(seed_arr), jnp.asarray(_SBOX_LANES),
+                          jnp.asarray(pi8)))
+    b = out[:8, :n].astype(np.uint64)
+    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+    return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
+
+
+# Strings above this take the host path (a 16 KiB string is ~256 unrolled
+# AES steps — past the point where per-call compile cost beats numpy).
+LONG_DEVICE_MAX = 16 << 10
+
+
 def hash_batch_device(items, seed: int = 0) -> np.ndarray:
     """Device-batched ``sz_hash`` over a collection (bit-identical). Tokens
-    ≤ 64 B run on the TPU bucketed by block count; longer strings fall back
-    to the host path."""
+    ≤ 64 B run the short kernel bucketed by 16-byte block count; strings up
+    to ``LONG_DEVICE_MAX`` run the four-lane long kernel bucketed by dyadic
+    chunk count; anything bigger falls back to the host path."""
     items = [bytes(s) for s in items]
     out = np.zeros(len(items), dtype=np.uint64)
     groups: dict[int, list[int]] = {}
+    long_groups: dict[int, list[int]] = {}
     for i, s in enumerate(items):
         if len(s) <= 64:
             groups.setdefault(max(1, -(-len(s) // 16)), []).append(i)
+        elif len(s) <= LONG_DEVICE_MAX:
+            c = (len(s) - 1) // 64
+            long_groups.setdefault(1 << (c - 1).bit_length(), []).append(i)
         else:
             out[i] = sz_hash(s, seed)
     for n_blocks, idx in groups.items():
@@ -241,4 +366,7 @@ def hash_batch_device(items, seed: int = 0) -> np.ndarray:
         data2d, lengths = native.pack_i32(blob, offsets, None, len(idx),
                                           16 * n_blocks, transpose=True, fill=0)
         out[np.asarray(idx)] = hash_tokens_device(data2d, lengths, seed, n_blocks)
+    for ncm, idx in long_groups.items():
+        out[np.asarray(idx)] = hash_long_device([items[i] for i in idx],
+                                                seed, ncm)
     return out

@@ -94,8 +94,16 @@ def intersect(first, second, seed: int = 0):
     b_strs, b_idx = _distinct(b_items)
     if not a_strs or not b_strs:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    a_hash = hash_batch(a_strs, seed)
-    b_hash = hash_batch(b_strs, seed)
+    hasher = hash_batch
+    if len(a_strs) + len(b_strs) >= _DEVICE_MIN_ITEMS:
+        from ..utils import platform
+
+        if platform.on_tpu():
+            from .hash_pallas import hash_batch_device
+
+            hasher = hash_batch_device
+    a_hash = hasher(a_strs, seed)
+    b_hash = hasher(b_strs, seed)
     ia, ib = _sorted_match(a_hash, b_hash)
     # Exact verification kills 64-bit collisions (and keeps adversarial
     # inputs correct, like the reference's bounded-budget rehash).

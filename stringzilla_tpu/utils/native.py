@@ -101,6 +101,9 @@ def lib():
         L.tc_utf8_fold_bytes.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_p,
                                          c_i64, c_p]
         L.tc_utf8_fold_bytes.restype = c_i64
+        L.tc_utf8_uncased_find.argtypes = [c_p, c_i64, c_p, c_i64, c_i64,
+                                           c_p, c_p, c_p, c_p, c_i64, c_p, c_p]
+        L.tc_utf8_uncased_find.restype = ctypes.c_int
         _lib = L
         return _lib
 
@@ -265,6 +268,26 @@ def utf8_fold_bytes(data: np.ndarray, fold1: np.ndarray, mkeys: np.ndarray,
                              _ptr(np.ascontiguousarray(mvals)), len(mkeys),
                              _ptr(out))
     return out[:m]
+
+
+def utf8_uncased_find(data: np.ndarray, needle_folded: np.ndarray,
+                      start_rune: int, fold1, mkeys, moffs, mvals):
+    """Fused on-the-fly case-insensitive search (no folded-haystack
+    materialization). Returns (byte_off, byte_len) or (-1, 0); None when the
+    native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    nd = np.ascontiguousarray(needle_folded, dtype=np.uint32)
+    off = ctypes.c_int64(0)
+    ln = ctypes.c_int64(0)
+    hit = L.tc_utf8_uncased_find(
+        _ptr(data), data.shape[0], _ptr(nd), nd.shape[0], int(start_rune),
+        _ptr(np.ascontiguousarray(fold1)), _ptr(np.ascontiguousarray(mkeys)),
+        _ptr(np.ascontiguousarray(moffs)), _ptr(np.ascontiguousarray(mvals)),
+        len(mkeys), ctypes.byref(off), ctypes.byref(ln))
+    return (off.value, ln.value) if hit else (-1, 0)
 
 
 def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,

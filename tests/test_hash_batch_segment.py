@@ -77,3 +77,16 @@ def test_hash_batch_device_kernel(rng):
     got = hash_batch_device(items, 42)
     for i, s in enumerate(items):
         assert got[i] == sz_hash(s, 42)
+
+
+def test_hash_long_device_kernel(rng):
+    """The four-lane long-path kernel (> 64 B, interpreted here) is
+    bit-identical, across chunk-count buckets and the deferred-tail edge
+    lengths (reference ``hash/serial.h:443-500``)."""
+    from stringzilla_tpu.ops.hash_pallas import hash_batch_device
+
+    lens = [65, 100, 127, 128, 129, 191, 192, 193, 200, 255, 256, 300, 500]
+    items = [bytes(rng.integers(0, 256, l).astype(np.uint8)) for l in lens]
+    got = hash_batch_device(items, 9)
+    for i, s in enumerate(items):
+        assert got[i] == sz_hash(s, 9), (i, len(s))

@@ -115,3 +115,25 @@ def test_strs_append_extend_and_hashes(rng):
              for _ in range(50)]
     h = Strs(items).hashes(seed=3)
     assert all(h[i] == sz_hash(s, 3) for i, s in enumerate(items))
+
+
+def test_lazy_iterator_views():
+    """Lazy match/split ranges (reference ``stringzilla.hpp:543-875``,
+    binding ``split_iter``/``rsplit_iter``)."""
+    s = Str(b"one,two,,three,")
+    assert [bytes(x) for x in s.split_iter(b",")] == b"one,two,,three,".split(b",")
+    assert ([bytes(x) for x in s.rsplit_iter(b",")]
+            == list(reversed(b"one,two,,three,".split(b","))))
+    assert ([bytes(x) for x in s.split_iter(b",", keepseparator=True)]
+            == [b"one,", b"two,", b",", b"three,", b""])
+    assert ([bytes(x) for x in s.rsplit_iter(b",", keepseparator=True)]
+            == [b"", b"three,", b",", b"two,", b"one,"])
+    t = Str(b"aaaa")
+    assert list(t.find_all(b"aa")) == [0, 2]
+    assert list(t.find_all(b"aa", allowoverlap=True)) == [0, 1, 2]
+    assert list(t.rfind_all(b"aa")) == [2, 0]
+    assert list(t.rfind_all(b"aa", allowoverlap=True)) == [2, 1, 0]
+    assert list(Str(b"abc").find_all(b"zz")) == []
+    assert [bytes(x) for x in Str(b"aaa").split_iter(b"aa")] == [b"", b"a"]
+    gen = s.split_iter(b",")  # lazily evaluated, one find per next()
+    assert bytes(next(gen)) == b"one"
