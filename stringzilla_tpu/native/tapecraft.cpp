@@ -407,6 +407,21 @@ static int tc_uncased_verify(const uint8_t* data, int64_t i, int64_t n,
     return 1;
 }
 
+// SWAR mask: high bit set in every byte of `w` equal to b1 or b2
+// (b1x8/b2x8 are the bytes replicated 8x).
+static inline uint64_t tc_ci_mask_(uint64_t w, uint64_t b1x8, uint64_t b2x8) {
+    uint64_t x1 = w ^ b1x8, x2 = w ^ b2x8;
+    uint64_t z1 = (x1 - 0x0101010101010101ull) & ~x1 & 0x8080808080808080ull;
+    uint64_t z2 = (x2 - 0x0101010101010101ull) & ~x2 & 0x8080808080808080ull;
+    return z1 | z2;
+}
+
+static inline uint64_t tc_load8_(const uint8_t* p) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+    return w;
+}
+
 int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
                          int64_t k, int64_t start_rune, const uint32_t* fold1,
                          const uint32_t* mkeys, const int64_t* moffs,
@@ -417,21 +432,59 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
     int first_is_ascii = first < 0x80;
     uint8_t c1 = (uint8_t)first;
     uint8_t c2 = (first >= 'a' && first <= 'z') ? (uint8_t)(first - 32) : c1;
+    uint64_t c1x8 = 0x0101010101010101ull * c1;
+    uint64_t c2x8 = 0x0101010101010101ull * c2;
+    // Second probe at the needle's LAST folded rune — legal only inside an
+    // all-ASCII window where source bytes map 1:1 to folded runes (ASCII
+    // never multi-folds, and nothing non-ASCII hides in the window). This
+    // is the reference's "anomaly offsets" candidate filter
+    // (find/serial.h:35) adapted to on-the-fly folding.
+    int nd_all_ascii = 1;
+    for (int64_t t = 0; t < k; ++t) nd_all_ascii &= nd[t] < 0x80;
+    uint8_t l1 = (uint8_t)nd[k - 1];
+    uint8_t l2 = (l1 >= 'a' && l1 <= 'z') ? (uint8_t)(l1 - 32) : l1;
+    uint64_t l1x8 = 0x0101010101010101ull * l1;
+    uint64_t l2x8 = 0x0101010101010101ull * l2;
+    int use_last = nd_all_ascii && k > 1;
+
     int64_t i = 0, fr = 0;  // byte cursor, folded-rune counter
     while (i < n) {
         if (data[i] < 0x80) {
             int64_t run_end = tc_ascii_run(data, i, n);
             if (!first_is_ascii) { fr += run_end - i; i = run_end; continue; }
-            for (int64_t j = i; j < run_end; ++j) {
-                uint8_t b = data[j];
-                if ((b == c1 || b == c2) && fr + (j - i) >= start_rune) {
+            int64_t j = i;
+            // SWAR fast lane: 8 bytes per step, candidates = positions where
+            // BOTH the first and last needle bytes case-match.
+            int64_t swar_end = use_last ? run_end - (k - 1) - 8 : run_end - 8;
+            for (; j <= swar_end; j += 8) {
+                uint64_t m = tc_ci_mask_(tc_load8_(data + j), c1x8, c2x8);
+                if (use_last)
+                    m &= tc_ci_mask_(tc_load8_(data + j + k - 1), l1x8, l2x8);
+                while (m) {
+                    int64_t pos = j + (__builtin_ctzll(m) >> 3);
+                    m &= m - 1;
+                    if (fr + (pos - i) < start_rune) continue;
                     int64_t end;
-                    if (tc_uncased_verify(data, j, n, 0, nd, k, fold1, mkeys,
+                    if (tc_uncased_verify(data, pos, n, 0, nd, k, fold1, mkeys,
                                           moffs, mvals, mcount, &end)) {
-                        *out_off = j;
-                        *out_len = end - j;
+                        *out_off = pos;
+                        *out_len = end - pos;
                         return 1;
                     }
+                }
+            }
+            // scalar tail of the run (incl. windows crossing the run end,
+            // where the 1:1 byte mapping no longer holds)
+            for (; j < run_end; ++j) {
+                uint8_t b = data[j];
+                if (b != c1 && b != c2) continue;
+                if (fr + (j - i) < start_rune) continue;
+                int64_t end;
+                if (tc_uncased_verify(data, j, n, 0, nd, k, fold1, mkeys,
+                                      moffs, mvals, mcount, &end)) {
+                    *out_off = j;
+                    *out_len = end - j;
+                    return 1;
                 }
             }
             fr += run_end - i;

@@ -258,10 +258,22 @@ def _folded_with_spans(buf: bytes):
 def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     """Case-insensitive substring search; returns ``(byte_offset, byte_len)``
     in the ORIGINAL haystack bytes or ``(-1, 0)`` (``sz_utf8_uncased_search``,
-    reference ``utf8_uncased.h:957``). Pipeline: native decode+fold to rune
-    arrays with source spans, then the dense shifted-compare over the folded
-    rune arrays (the same branch-free shape as the byte-level ``find``)."""
+    reference ``utf8_uncased.h:957``). Hot path: the fused native scan that
+    folds on the fly — no folded-haystack materialization, SWAR-skipped
+    ASCII runs, candidate positions verified incrementally (the reference's
+    own architecture). Fallback: decode+fold to rune arrays with source
+    spans, then a dense shifted-compare."""
     hb, nb = _as_bytes(haystack), _as_bytes(needle)
+    from ..utils import native
+
+    tabs = _fold_tables()
+    if native.available() and tabs is not None:
+        nd_f, _, _ = _folded_with_spans(nb)
+        res = native.utf8_uncased_find(
+            np.frombuffer(hb, dtype=np.uint8), nd_f.astype(np.uint32),
+            start_rune, *tabs)
+        if res is not None:
+            return res
     h, starts, ends = _folded_with_spans(hb)
     nd, _, _ = _folded_with_spans(nb)
     k = len(nd)
@@ -280,10 +292,22 @@ def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     return (int(starts[i]), int(ends[i + k - 1] - starts[i]))
 
 
+def _folded_runes(buf: bytes) -> np.ndarray:
+    """Folded rune array without source spans (cheaper: no src allocation)."""
+    from ..utils import native
+
+    tabs = _fold_tables()
+    if native.available() and tabs is not None:
+        runes, _offs = native.utf8_decode(np.frombuffer(buf, dtype=np.uint8))
+        folded, _ = native.fold_runes(runes, *tabs, with_src=False)
+        return folded.astype(np.int64)
+    return _folded_with_spans(buf)[0]
+
+
 def utf8_uncased_order(a, b) -> int:
     """Uncased 3-way collation (``sz_utf8_uncased_order``,
     ``utf8_uncased.h:746``) — rune-wise order of the folded streams."""
-    fa, fb = _folded_with_spans(_as_bytes(a))[0], _folded_with_spans(_as_bytes(b))[0]
+    fa, fb = _folded_runes(_as_bytes(a)), _folded_runes(_as_bytes(b))
     n = min(len(fa), len(fb))
     neq = np.nonzero(fa[:n] != fb[:n])[0]
     if neq.size:
