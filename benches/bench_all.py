@@ -125,6 +125,20 @@ def bench_hash_tokens(rng):
     emit("hash_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
 
 
+def bench_sha256(rng):
+    from stringzilla_tpu.ops.sha256 import sha256_batch
+
+    N = 1 << 16
+    toks = [bytes(rng.integers(0, 256, int(l)).astype(np.uint8))
+            for l in rng.integers(4, 48, N)]
+    total = sum(len(t) for t in toks)
+    t0 = time.perf_counter()
+    sha256_batch(toks)
+    dt = time.perf_counter() - t0
+    # no reference-table baseline row; report vs 1 Mtok/s nominal
+    emit("sha256_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
+
+
 def bench_argsort(rng):
     from stringzilla_tpu.ops.sort import argsort_strings
 
@@ -186,6 +200,7 @@ BENCHES = {
     "lookup": bench_lookup,
     "fill_random": bench_fill_random,
     "hash_tokens": bench_hash_tokens,
+    "sha256": bench_sha256,
     "argsort": bench_argsort,
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,

@@ -36,10 +36,31 @@ from .ops.tape import Tape
 from .utils import platform
 
 # Module-level function surface mirroring the reference binding
-# (``python/stringzilla.c:9531-9612``).
-find = _find.find
-rfind = _find.rfind
-count = _find.count
+# (``python/stringzilla.c:9531-9612``). find/rfind/count dispatch through
+# ``Str`` so big buffers take the same streaming Pallas tier as ``Str.find``
+# (the XLA dense tier in ``ops.find`` materializes k shifted compares and is
+# the wrong shape past ~100 MB); ``ops.find`` remains the jnp oracle tier.
+
+
+def find(haystack, needle) -> int:
+    """Offset of the first occurrence, -1 if absent (``sz_find``)."""
+    s = haystack if isinstance(haystack, Str) else Str(haystack)
+    return s.find(needle)
+
+
+def rfind(haystack, needle) -> int:
+    """Offset of the last occurrence (``sz_rfind``)."""
+    s = haystack if isinstance(haystack, Str) else Str(haystack)
+    return s.rfind(needle)
+
+
+def count(haystack, needle, allowoverlap: bool = True) -> int:
+    """Occurrence count (module default: overlapping, like ``ops.find``)."""
+    s = haystack if isinstance(haystack, Str) else Str(haystack)
+    return s.count(needle, allowoverlap=allowoverlap)
+
+
+
 find_byteset = _find.find_byteset
 rfind_byteset = _find.rfind_byteset
 hash = sz_hash  # noqa: A001 - intentional API parity with the reference

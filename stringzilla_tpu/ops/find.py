@@ -255,32 +255,27 @@ def rfind_byte(haystack, byte: int) -> int:
 def count(haystack, needle, allowoverlap: bool = True) -> int:
     """Occurrence count. Overlapping by default (mask popcount); greedy
     left-to-right otherwise (Python ``str.count`` semantics, the binding's
-    ``Str.count`` contract)."""
-    hay, n = _as_u8_padded(haystack)
+    ``Str.count`` contract — delegated to C-speed ``bytes.count``)."""
     nd, k = _needle_arr(needle)
+    if not allowoverlap:
+        # greedy non-overlapping count IS bytes.count — C speed, exact
+        if isinstance(haystack, str):
+            haystack = haystack.encode("utf-8")
+        if not isinstance(haystack, (bytes, bytearray, memoryview)):
+            haystack = np.asarray(haystack, dtype=np.uint8).tobytes()
+        return bytes(haystack).count(bytes(np.asarray(nd, np.uint8).tobytes()))
+    hay, n = _as_u8_padded(haystack)
     if k == 0:
         return n + 1
     if n < k:
         return 0
     if k <= _DENSE_NEEDLE_LIMIT:
-        mask = _dense_match_mask(hay, n, nd, k)
-        if allowoverlap:
-            return int(jnp.sum(mask))
-        mask = np.asarray(mask)
-    else:
-        cand = np.asarray(_candidate_mask_long(hay, n, nd, k))
-        hb, nb = np.asarray(hay), np.asarray(nd)
-        mask = np.zeros_like(cand)
-        for p in np.nonzero(cand)[0]:
-            mask[p] = bool((hb[p : p + k] == nb).all())
-        if allowoverlap:
-            return int(mask.sum())
-    # Greedy suppression on the (sparse) match positions, host-side.
-    total, next_free = 0, 0
-    for p in np.nonzero(mask)[0]:
-        if p >= next_free:
-            total += 1
-            next_free = p + k
+        return int(jnp.sum(_dense_match_mask(hay, n, nd, k)))
+    cand = np.asarray(_candidate_mask_long(hay, n, nd, k))
+    hb, nb = np.asarray(hay), np.asarray(nd)
+    total = 0
+    for p in np.nonzero(cand)[0]:
+        total += bool((hb[p : p + k] == nb).all())
     return total
 
 
