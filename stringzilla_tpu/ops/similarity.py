@@ -232,9 +232,11 @@ def build_sq(q_ext: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _column_step_linear(D, j, c_row, q_ext, clens, cfg: SimilarityConfig, sq=None):
+def _column_step_linear(D, j, c_row, q_ext, clens, cfg: SimilarityConfig,
+                        sq=None, sub=None):
     g = cfg.gaps.open_or_extend
-    sub = _substitution_column(q_ext, c_row, cfg, sq)
+    if sub is None:
+        sub = _substitution_column(q_ext, c_row, cfg, sq)
     Dm1 = _shift_down(D, 1, cfg.ident)
     # a[i] = opt(horizontal D[i][j-1]+g, diagonal D[i-1][j-1]+sub, (0 if local))
     a = cfg.opt(D + g, Dm1 + sub)
@@ -249,9 +251,11 @@ def _column_step_linear(D, j, c_row, q_ext, clens, cfg: SimilarityConfig, sq=Non
     return jnp.where(live, D_new, D)
 
 
-def _column_step_affine(D, I, j, c_row, q_ext, clens, cfg: SimilarityConfig, sq=None):
+def _column_step_affine(D, I, j, c_row, q_ext, clens, cfg: SimilarityConfig,
+                        sq=None, sub=None):
     o, e = cfg.gaps.open, cfg.gaps.extend
-    sub = _substitution_column(q_ext, c_row, cfg, sq)
+    if sub is None:
+        sub = _substitution_column(q_ext, c_row, cfg, sq)
     rows = jax.lax.broadcasted_iota(jnp.int32, D.shape, 0)
 
     # Horizontal gap matrix (propagates along j only): I[i][j] =
@@ -288,17 +292,21 @@ def init_columns(rows: int, lanes: int, cfg: SimilarityConfig):
     return (D0, _boundary_gap(i, cfg))
 
 
-def column_step(state, j, c_row, q_ext, clens, cfg: SimilarityConfig, sq=None):
+def column_step(state, j, c_row, q_ext, clens, cfg: SimilarityConfig, sq=None,
+                sub=None):
     """Advance the lane-packed DP by one candidate character.
 
     ``state`` is ``(D,)`` for linear gaps or ``(D, I)`` for affine. Returns the
     new state tuple. All arrays follow the module-level 2D shape conventions.
+    ``sub`` optionally supplies the precomputed substitution column (used by
+    the Pallas kernel to software-pipeline it ahead of the DP recurrence).
     """
     if cfg.is_affine:
         D, I = state
-        return _column_step_affine(D, I, j, c_row, q_ext, clens, cfg, sq)
+        return _column_step_affine(D, I, j, c_row, q_ext, clens, cfg, sq,
+                                   sub=sub)
     (D,) = state
-    return (_column_step_linear(D, j, c_row, q_ext, clens, cfg, sq),)
+    return (_column_step_linear(D, j, c_row, q_ext, clens, cfg, sq, sub=sub),)
 
 
 def extract_result(D, qlen, clens, cfg: SimilarityConfig, best=None):

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import platform
 from .similarity import (
     SimilarityConfig,
+    _substitution_column,
     build_sq,
     column_step,
     extract_result,
@@ -72,6 +73,10 @@ def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):
     state0 = init_columns(rows, lanes, cfg)
     best0 = jnp.zeros((1, lanes), jnp.int32)
 
+    # Note: software-pipelining the substitution column (as the Myers kernel
+    # does with its Eq mask) was measured SLOWER here — the loop-carried sub
+    # is (rows, lanes) int32 (megabytes at protein shapes), and the extra
+    # carry materialization costs more than the overlap hides.
     def body(j, carry):
         state, best = carry
         c_row = cands_ref[pl.ds(j - 1, 1), :]  # (1, lanes)
