@@ -131,7 +131,8 @@ def bench_sha256(rng):
     N = 1 << 16
     toks = [bytes(rng.integers(0, 256, int(l)).astype(np.uint8))
             for l in rng.integers(4, 48, N)]
-    total = sum(len(t) for t in toks)
+    sha256_batch(toks[:256])  # compile the (blocks, lanes) specializations
+    sha256_batch(toks)  # warm the full lane width
     t0 = time.perf_counter()
     sha256_batch(toks)
     dt = time.perf_counter() - t0

@@ -202,10 +202,19 @@ def sha256_batch(items) -> np.ndarray:
         # dyadic lane padding bounds the number of compiled (blocks, lanes)
         # specializations and keeps the lane axis VPU-aligned
         lanes = max(128, 1 << (G - 1).bit_length())
-        words = np.zeros((n_blocks * 16, lanes), dtype=np.uint32)
+        # vectorized FIPS padding: per-message byte copy, then one shot for
+        # the 0x80 marker and the big-endian bit-length tail
+        buf = np.zeros((lanes, n_blocks * 64), dtype=np.uint8)
+        lens = np.zeros(lanes, dtype=np.int64)
         for col, i in enumerate(idx):
-            words[:, col] = _padded_words(items[i])
-        words = words.reshape(n_blocks, 16, lanes)
+            s = items[i]
+            buf[col, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            lens[col] = len(s)
+        buf[np.arange(G), lens[:G]] = 0x80
+        tail = (lens[:G] * 8).astype(">u8").view(np.uint8).reshape(G, 8)
+        buf[:G, -8:] = tail
+        words = (buf.view(">u4").astype(np.uint32)  # (lanes, 16*n_blocks)
+                 .reshape(lanes, n_blocks, 16).transpose(1, 2, 0))
         fn = _BATCH_CACHE.get(0)
         if fn is None:
             fn = _BATCH_CACHE[0] = _jit_batch(0)
