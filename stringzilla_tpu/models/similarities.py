@@ -150,31 +150,45 @@ class _CrossProductEngine:
             and self._cfg.costs.mismatch == 1
         )
 
-    def _score_long_pairs(self, q_arrs, c_arrs, q_long, c_long, out):
+    def _score_long_pairs(self, q_arrs, c_arrs, q_long, c_long, out, scope):
         """Every pair touching a long string runs on the anti-diagonal
         wavefront kernel (one kernel launch per pair — the intra-pair tier).
+        Pairs whose diagonal exceeds one chip's VMEM reach
+        (``MAX_FLAT_CELLS``) route to the cross-chip ring tier when the
+        scope holds a multi-device mesh — the reference's GPU
+        ``row_frontier`` pattern over ICI (``cuda.cuh:708-749``).
         Class-cost engines pass the 32x32 table (inputs are already
         class-mapped); uniform engines pass match/mismatch."""
-        from ..ops.wavefront_pallas import wavefront_score
+        from ..ops.wavefront_pallas import MAX_FLAT_CELLS, wavefront_score
+        from ..parallel.ring import ring_wavefront_score
 
-        if self._cfg.is_affine:
-            gap = self._cfg.gaps.open
-            kw = dict(extend=self._cfg.gaps.extend)
+        cfg = self._cfg
+        if cfg.is_affine:
+            gap = cfg.gaps.open
+            kw = dict(extend=cfg.gaps.extend)
         else:
-            gap = self._cfg.gaps.open_or_extend
+            gap = cfg.gaps.open_or_extend
             kw = {}
-        if self._cfg.uses_classes:
-            kw["table"] = self._cfg.costs.table_np()
+        if cfg.uses_classes:
+            kw["table"] = cfg.costs.table_np()
         else:
-            kw.update(match=self._cfg.costs.match,
-                      mismatch=self._cfg.costs.mismatch)
+            kw.update(match=cfg.costs.match, mismatch=cfg.costs.mismatch)
         for i, q in enumerate(q_arrs):
             for j, c in enumerate(c_arrs):
                 if not (q_long[i] or c_long[j]):
                     continue
-                out[i, j] = wavefront_score(
-                    q, c, gap=gap, objective=self._cfg.objective,
-                    locality=self._cfg.locality, **kw)
+                if (max(len(q) + 1, len(c)) > MAX_FLAT_CELLS
+                        and scope.device_count > 1):
+                    rkw = dict(kw)
+                    rkw.setdefault("match", 0)
+                    rkw.setdefault("mismatch", 1)
+                    out[i, j] = ring_wavefront_score(
+                        q, c, scope.mesh, gap=gap, objective=cfg.objective,
+                        locality=cfg.locality, **rkw)
+                else:
+                    out[i, j] = wavefront_score(
+                        q, c, gap=gap, objective=cfg.objective,
+                        locality=cfg.locality, **kw)
 
     @property
     def config(self) -> SimilarityConfig:
@@ -213,7 +227,7 @@ class _CrossProductEngine:
         c_long = c_lens > _LONG_THRESHOLD
         has_long = bool(q_long.any() or c_long.any())
         if has_long:
-            self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out)
+            self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out, scope)
             if (~q_long).sum() == 0 or (~c_long).sum() == 0:
                 return out
 
