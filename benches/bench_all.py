@@ -185,6 +185,23 @@ def bench_nw_proteins(rng):
     emit("needleman_wunsch_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
 
 
+def bench_fingerprints(rng):
+    from stringzilla_tpu.models.fingerprints import Fingerprints
+
+    docs = [bytes(rng.integers(32, 127, int(rng.integers(60, 180)))
+                  .astype(np.uint8)) for _ in range(32768)]
+    total = sum(len(d) for d in docs)
+    eng = Fingerprints(ndim=256)
+    eng(docs[:256])  # compile the bucket specializations
+    eng(docs)
+    t0 = time.perf_counter()
+    h, c = eng(docs)
+    dt = time.perf_counter() - t0
+    # ndim rolling-hash dimensions per input byte; no published reference
+    # throughput row (recall@10 parity is tracked by recall_fingerprints.py)
+    emit("fingerprints_minhash", total * 256 / dt / 1e9, "Ghash/s", 1.0)
+
+
 def bench_wavefront(rng):
     from stringzilla_tpu.ops.wavefront_pallas import wavefront_score
 
@@ -205,6 +222,7 @@ BENCHES = {
     "argsort": bench_argsort,
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,
+    "fingerprints": bench_fingerprints,
     "wavefront": bench_wavefront,
 }
 

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.fingerprints import DEFAULT_WINDOW_WIDTHS, derive_params
-from ..ops.fingerprints_pallas import fingerprint_width_group, pack_limbs
+from ..ops.fingerprints_pallas import fingerprint_all_groups, pack_limbs
 from ..ops.tape import Tape, round_up
 from ..utils import native
 from .device_scope import DeviceScope, default_device_scope
@@ -54,27 +54,39 @@ class Fingerprints:
         self.seed = int(seed)
         self.window_widths = tuple(int(w) for w in window_widths) if window_widths is not None else DEFAULT_WINDOW_WIDTHS
         self._params = derive_params(self.ndim, self.window_widths, self.seed)
-        # Group dimensions by window width; each group runs as one kernel call
-        # with its dims down the sublane axis.
-        self._groups = []
+        # Dimensions grouped by window width into contiguous row blocks (each
+        # padded to a sublane multiple); ALL groups run as ONE kernel launch
+        # with their dims concatenated down the sublane axis.
         widths = self._params["width"]
-        for w in sorted(set(int(x) for x in widths)):
+        distinct = sorted(set(int(x) for x in widths))
+        sizes, rows, pads = [], [], []
+        row = 0
+        for w in distinct:
             dim_idx = np.nonzero(widths == w)[0]
-            g = len(dim_idx)
-            g_pad = round_up(g, 8)
-            pad = np.concatenate([dim_idx, np.repeat(dim_idx[-1:], g_pad - g)])
-            mult = self._params["mult"][pad].astype(np.int32).reshape(g_pad, 1)
-            m_limbs = pack_limbs(self._params["modulo"][pad]).reshape(3, g_pad, 1)
-            fd_limbs = pack_limbs(self._params["fused_disc"][pad]).reshape(3, g_pad, 1)
-            inv_m = (1.0 / self._params["modulo"][pad].astype(np.float32)).reshape(g_pad, 1)
-            self._groups.append({
-                "width": w,
-                "dim_idx": dim_idx,
-                "mult": jnp.asarray(mult),
-                "m_limbs": jnp.asarray(m_limbs),
-                "fd_limbs": jnp.asarray(fd_limbs),
-                "inv_m": jnp.asarray(inv_m),
-            })
+            g_pad = round_up(len(dim_idx), 8)
+            pads.append(np.concatenate(
+                [dim_idx, np.repeat(dim_idx[-1:], g_pad - len(dim_idx))]))
+            sizes.append(g_pad)
+            rows.append((row, dim_idx))
+            row += g_pad
+        pad = np.concatenate(pads)
+        dims = row
+        self._group_sizes = tuple(sizes)
+        self._group_rows = rows  # (row_start, original dim indices) per group
+        # Inverse permutation: output dim d lives at padded kernel row perm[d].
+        perm = np.empty(self.ndim, dtype=np.int64)
+        for row_start, dim_idx in rows:
+            perm[dim_idx] = row_start + np.arange(len(dim_idx))
+        self._perm = perm
+        self._widths_arr = jnp.asarray(np.array([distinct], dtype=np.int32))
+        self._mult = jnp.asarray(
+            self._params["mult"][pad].astype(np.int32).reshape(dims, 1))
+        self._m_limbs = jnp.asarray(
+            pack_limbs(self._params["modulo"][pad]).reshape(3, dims, 1))
+        self._fd_limbs = jnp.asarray(
+            pack_limbs(self._params["fused_disc"][pad]).reshape(3, dims, 1))
+        self._inv_m = jnp.asarray(
+            (1.0 / self._params["modulo"][pad].astype(np.float32)).reshape(dims, 1))
 
     def __repr__(self) -> str:  # pragma: no cover
         return (f"Fingerprints(ndim={self.ndim},window_widths={len(self.window_widths)},"
@@ -99,29 +111,32 @@ class Fingerprints:
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
             count = round_up(len(idx), 128 * ndev)
-            docs_t, blens = native.pack_i32(blob, offsets, idx, count,
-                                            int(bucket), transpose=True, fill=0)
+            docs_t = native.pack_u8(blob, offsets, idx, count, int(bucket),
+                                    transpose=True)
+            blens = np.zeros(count, dtype=np.int32)
+            blens[: len(idx)] = offsets[idx + 1] - offsets[idx]
             docs_j = jnp.asarray(docs_t)
             lens_j = jnp.asarray(blens.reshape(1, count))
-            for grp in self._groups:
-                if ndev > 1:
-                    from ..parallel.cross import sharded_fingerprints
+            if ndev > 1:
+                from ..parallel.cross import sharded_fingerprints
 
-                    h, c = sharded_fingerprints(
-                        docs_j, lens_j, grp["width"], grp["mult"],
-                        grp["m_limbs"], grp["fd_limbs"], grp["inv_m"],
-                        scope.mesh,
-                    )
-                else:
-                    h, c = fingerprint_width_group(
-                        docs_j, lens_j, grp["width"], grp["mult"], grp["m_limbs"],
-                        grp["fd_limbs"], grp["inv_m"],
-                    )
-                h = np.asarray(h).view(np.uint32)
-                c = np.asarray(c).view(np.uint32)
-                g = len(grp["dim_idx"])
-                min_hashes[np.ix_(idx, grp["dim_idx"])] = h[:g, : len(idx)].T
-                min_counts[np.ix_(idx, grp["dim_idx"])] = c[:g, : len(idx)].T
+                h, c = sharded_fingerprints(
+                    docs_j, lens_j, self._widths_arr, self._group_sizes,
+                    self._mult, self._m_limbs, self._fd_limbs, self._inv_m,
+                    scope.mesh,
+                )
+            else:
+                h, c = fingerprint_all_groups(
+                    docs_j, lens_j, self._widths_arr, self._group_sizes,
+                    self._mult, self._m_limbs, self._fd_limbs, self._inv_m,
+                )
+            h = np.asarray(h).view(np.uint32)
+            c = np.asarray(c).view(np.uint32)
+            # One permutation take + transpose (contiguous row gather) instead
+            # of per-group two-axis fancy indexing — the export was the
+            # single biggest host cost at 8K+ docs.
+            min_hashes[idx] = h[self._perm, : len(idx)].T
+            min_counts[idx] = c[self._perm, : len(idx)].T
 
         if out is not None:
             out_h, out_c = out

@@ -128,17 +128,6 @@ def sha256(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _padded_words(msg: bytes) -> np.ndarray:
-    """FIPS padding → big-endian u32 words, shape (16 * n_blocks,)."""
-    n = len(msg)
-    total = ((n + 8) // 64 + 1) * 64
-    buf = np.zeros(total, dtype=np.uint8)
-    buf[:n] = np.frombuffer(msg, dtype=np.uint8)
-    buf[n] = 0x80
-    buf[-8:] = np.frombuffer((n * 8).to_bytes(8, "big"), dtype=np.uint8)
-    return buf.view(">u4").astype(np.uint32)
-
-
 def _jit_batch(n_blocks: int):
     """Compression over the lanes (message) axis as two ``lax.scan``s —
     schedule expansion (48 steps, carry = 16-word ring) and rounds (64

@@ -211,22 +211,23 @@ def sharded_argsort(keys, mesh: Mesh, num_keys: int | None = None):
     return run(keys)
 
 
-def sharded_fingerprints(docs_t, lens, width: int, mult, m_limbs, fd_limbs,
-                         inv_m, mesh: Mesh, lane_block: int = 128):
+def sharded_fingerprints(docs_t, lens, widths, group_sizes, mult, m_limbs,
+                         fd_limbs, inv_m, mesh: Mesh, lane_block: int = 128):
     """Document-sharded MinHash fingerprints: the dimension parameters are
     replicated, documents and outputs split along ``data`` — the analog of
     the reference's docs×dim-groups thread fan-out
     (``floating_rolling_hashers_in_parallel_``, ``fingerprints/serial.hpp:994``)."""
-    from ..ops.fingerprints_pallas import fingerprint_width_group
+    from ..ops.fingerprints_pallas import fingerprint_all_groups
 
-    def run(d, l, mu, ml, fl, im):
-        return fingerprint_width_group(d, l, width, mu, ml, fl, im,
-                                       lane_block=lane_block)
+    def run(d, l, w, mu, ml, fl, im):
+        return fingerprint_all_groups(d, l, w, group_sizes, mu, ml, fl, im,
+                                      lane_block=lane_block)
 
     fn = shard_map(
         run, mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data"), P(None, None),
-                  P(None, None, None), P(None, None, None), P(None, None)),
+                  P(None, None), P(None, None, None), P(None, None, None),
+                  P(None, None)),
         out_specs=(P(None, "data"), P(None, "data")), check_vma=False,
     )
-    return fn(docs_t, lens, mult, m_limbs, fd_limbs, inv_m)
+    return fn(docs_t, lens, widths, mult, m_limbs, fd_limbs, inv_m)
