@@ -182,38 +182,14 @@ def _native_fold_bytes(buf: bytes) -> bytes | None:
     return bytes(out) if out is not None else None
 
 
-_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
-
-
-def utf8_norm(data, form: str = "NFC") -> bytes:
-    """UAX-15 normalization (``sz_utf8_norm``, reference ``utf8_norm.h:46``)."""
-    if form not in _FORMS:
-        raise ValueError(f"form must be one of {_FORMS}")
-    return unicodedata.normalize(form, _decode(data)).encode("utf-8")
-
-
-def utf8_is_normalized(data, form: str = "NFC") -> bool:
-    return unicodedata.is_normalized(form, _decode(data))
-
-
-def utf8_find_denormalized(data, form: str = "NFC") -> int:
-    """Byte offset where the text first deviates from normal form, or -1 if
-    fully normalized (``sz_utf8_find_denormalized``, ``utf8_norm.h:60``).
-    Returns the start of the combining sequence containing the first rune at
-    which the text and its normalization diverge."""
-    buf = _as_bytes(data)
-    s = _decode(buf)
-    if unicodedata.is_normalized(form, s):
-        return -1
-    t = unicodedata.normalize(form, s)
-    p = 0
-    while p < len(s) and p < len(t) and s[p] == t[p]:
-        p += 1
-    # rewind to the opening starter of the combining sequence around p
-    seq_start = min(p, len(s) - 1)
-    while seq_start > 0 and unicodedata.combining(s[seq_start]):
-        seq_start -= 1
-    return len(s[:seq_start].encode("utf-8"))
+# UAX-15 normalization lives in utf8_norm.py — own decompose/reorder/compose
+# machinery over generated UCD tables with a quick-check fast path
+# (re-exported here to keep the one-module-per-domain surface flat).
+from .utf8_norm import (  # noqa: E402
+    utf8_find_denormalized,
+    utf8_is_normalized,
+    utf8_norm,
+)
 
 
 # ---------------------------------------------------------------------------
