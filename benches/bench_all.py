@@ -195,6 +195,38 @@ def bench_nw_proteins(rng):
     emit("needleman_wunsch_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
 
 
+def bench_utf8_host(rng):
+    """Host (native C++) tier rows: full case folding + uncased search on an
+    English-like corpus with ~0.3% non-ASCII words (the reference's own
+    corpus is mostly-ASCII English; README.md:62-97)."""
+    from stringzilla_tpu.ops.utf8 import utf8_fold, utf8_uncased_find
+
+    words = [b"the", b"of", b"and", b"to", b"in", b"was", b"history",
+             b"information", b"people", b"time", b"government", b"science",
+             "école".encode(), "straße".encode()]
+    probs = np.array([8, 4, 4, 4, 3, 2, 2, 2, 2, 2, 1, 1, 0.05, 0.05])
+    probs /= probs.sum()
+    idx = rng.choice(len(words), 6_000_000, p=probs)
+    corpus = b" ".join(words[i] for i in idx)
+    n = len(corpus)
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        utf8_fold(corpus)
+        best = min(best, time.perf_counter() - t0)
+    emit("utf8_fold", n / best / 1e9, "GB/s", 1.3)
+
+    miss = corpus.replace(b"information", b"informatiom") + b" tHeUniqueNdl"
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = utf8_uncased_find(miss, "THEUNIQUENDL")
+        best = min(best, time.perf_counter() - t0)
+    assert r[0] == len(miss) - 12, r
+    emit("utf8_uncased_find", len(miss) / best / 1e9, "GB/s", 3.0)
+
+
 def bench_fingerprints(rng):
     from stringzilla_tpu.models.fingerprints import Fingerprints
 
@@ -233,6 +265,7 @@ BENCHES = {
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,
     "fingerprints": bench_fingerprints,
+    "utf8_host": bench_utf8_host,
     "wavefront": bench_wavefront,
 }
 

@@ -422,6 +422,20 @@ static inline uint64_t tc_load8_(const uint8_t* p) {
     return w;
 }
 
+// 64-byte vector lane (GCC vector extensions — AVX-512/AVX2/SSE emitted per
+// -march; no intrinsics, portable to any g++ target).
+typedef uint8_t tc_v64_ __attribute__((vector_size(64)));
+
+static inline tc_v64_ tc_vload64_(const uint8_t* p) {
+    tc_v64_ v;
+    std::memcpy(&v, p, 64);
+    return v;
+}
+
+static inline tc_v64_ tc_vsplat_(uint8_t b) {
+    return tc_v64_{} + b;
+}
+
 int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
                          int64_t k, int64_t start_rune, const uint32_t* fold1,
                          const uint32_t* mkeys, const int64_t* moffs,
@@ -446,6 +460,32 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
     uint64_t l1x8 = 0x0101010101010101ull * l1;
     uint64_t l2x8 = 0x0101010101010101ull * l2;
     int use_last = nd_all_ascii && k > 1;
+    // Anomaly offsets (find/serial.h:35): probe the needle's two RAREST
+    // folded bytes (static English/byte frequency rank) instead of
+    // first/last — 'q' in "the unique…" filters ~100× harder than 't'.
+    static const uint8_t kFreqRank[26] = {
+        // a  b  c  d  e  f  g  h  i  j  k  l  m
+          22, 9, 14, 15, 25, 11, 10, 18, 21, 2, 5, 16, 12,
+        // n  o  p  q  r  s  t  u  v  w  x  y  z
+          20, 23, 8, 1, 19, 17, 24, 13, 6, 7, 3, 13, 4};
+    int64_t pa = 0, pb = k - 1;
+    if (nd_all_ascii && k > 1) {
+        auto rank = [&](uint8_t b) -> int {
+            if (b >= 'a' && b <= 'z') return kFreqRank[b - 'a'];
+            if (b == ' ') return 26;  // most common byte in text
+            return 0;                 // digits/punct/rare bytes: best filters
+        };
+        pa = 0;
+        for (int64_t t = 1; t < k; ++t)
+            if (rank((uint8_t)nd[t]) < rank((uint8_t)nd[pa])) pa = t;
+        pb = pa == 0 ? 1 : 0;
+        for (int64_t t = 0; t < k; ++t)
+            if (t != pa && rank((uint8_t)nd[t]) < rank((uint8_t)nd[pb])) pb = t;
+    }
+    uint8_t a1 = (uint8_t)nd[pa];
+    uint8_t a2 = (a1 >= 'a' && a1 <= 'z') ? (uint8_t)(a1 - 32) : a1;
+    uint8_t b1 = (uint8_t)nd[pb];
+    uint8_t b2 = (b1 >= 'a' && b1 <= 'z') ? (uint8_t)(b1 - 32) : b1;
 
     int64_t i = 0, fr = 0;  // byte cursor, folded-rune counter
     while (i < n) {
@@ -453,38 +493,77 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
             int64_t run_end = tc_ascii_run(data, i, n);
             if (!first_is_ascii) { fr += run_end - i; i = run_end; continue; }
             int64_t j = i;
-            // SWAR fast lane: 8 bytes per step, candidates = positions where
-            // BOTH the first and last needle bytes case-match.
-            int64_t swar_end = use_last ? run_end - (k - 1) - 8 : run_end - 8;
-            for (; j <= swar_end; j += 8) {
-                uint64_t m = tc_ci_mask_(tc_load8_(data + j), c1x8, c2x8);
-                if (use_last)
-                    m &= tc_ci_mask_(tc_load8_(data + j + k - 1), l1x8, l2x8);
-                while (m) {
-                    int64_t pos = j + (__builtin_ctzll(m) >> 3);
-                    m &= m - 1;
-                    if (fr + (pos - i) < start_rune) continue;
-                    int64_t end;
-                    if (tc_uncased_verify(data, pos, n, 0, nd, k, fold1, mkeys,
-                                          moffs, mvals, mcount, &end)) {
-                        *out_off = pos;
-                        *out_len = end - pos;
-                        return 1;
+            // Vector fast lane: 64 window-starts per step, candidates =
+            // starts whose two anomaly-offset bytes BOTH case-match — legal
+            // only where the whole window sits inside the ASCII run (source
+            // bytes map 1:1 to folded runes there; ASCII never multi-folds).
+            int64_t vec_end = use_last ? run_end - k - 63 : run_end - 64;
+            tc_v64_ A1 = tc_vsplat_(a1), A2 = tc_vsplat_(a2);
+            tc_v64_ B1 = tc_vsplat_(b1), B2 = tc_vsplat_(b2);
+            tc_v64_ C1 = tc_vsplat_(c1), C2 = tc_vsplat_(c2);
+            for (; j <= vec_end; j += 64) {
+                tc_v64_ x = tc_vload64_(data + j + (use_last ? pa : 0));
+                tc_v64_ m = use_last
+                    ? (tc_v64_)((x == A1) | (x == A2))
+                    : (tc_v64_)((x == C1) | (x == C2));
+                if (use_last) {
+                    tc_v64_ y = tc_vload64_(data + j + pb);
+                    m &= (tc_v64_)((y == B1) | (y == B2));
+                }
+                uint64_t words[8];
+                std::memcpy(words, &m, 64);
+                uint64_t any = 0;
+                for (int w = 0; w < 8; ++w) any |= words[w];
+                if (!any) continue;
+                for (int w = 0; w < 8; ++w) {
+                    uint64_t bits = words[w] & 0x8080808080808080ull;
+                    while (bits) {
+                        int64_t pos = j + w * 8 + (__builtin_ctzll(bits) >> 3);
+                        bits &= bits - 1;
+                        if (fr + (pos - i) < start_rune) continue;
+                        int64_t end;
+                        if (tc_uncased_verify(data, pos, n, 0, nd, k, fold1,
+                                              mkeys, moffs, mvals, mcount,
+                                              &end)) {
+                            *out_off = pos;
+                            *out_len = end - pos;
+                            return 1;
+                        }
                     }
                 }
             }
-            // scalar tail of the run (incl. windows crossing the run end,
-            // where the 1:1 byte mapping no longer holds)
-            for (; j < run_end; ++j) {
-                uint8_t b = data[j];
-                if (b != c1 && b != c2) continue;
-                if (fr + (j - i) < start_rune) continue;
-                int64_t end;
-                if (tc_uncased_verify(data, j, n, 0, nd, k, fold1, mkeys,
-                                      moffs, mvals, mcount, &end)) {
-                    *out_off = j;
-                    *out_len = end - j;
-                    return 1;
+            // Vector tail: first-byte probe only — these windows may cross
+            // the run end (where the 1:1 byte↔rune mapping stops), so the
+            // last-byte filter is invalid and the verifier decides instead.
+            for (; j < run_end; j += 64) {
+                tc_v64_ x;
+                int64_t avail = n - j;
+                if (avail >= 64) {
+                    x = tc_vload64_(data + j);
+                } else {
+                    uint8_t tmp[64] = {0};
+                    std::memcpy(tmp, data + j, avail);
+                    std::memcpy(&x, tmp, 64);
+                }
+                tc_v64_ m = (tc_v64_)((x == C1) | (x == C2));
+                uint64_t words[8];
+                std::memcpy(words, &m, 64);
+                for (int w = 0; w < 8 && j + w * 8 < run_end; ++w) {
+                    uint64_t bits = words[w] & 0x8080808080808080ull;
+                    while (bits) {
+                        int64_t pos = j + w * 8 + (__builtin_ctzll(bits) >> 3);
+                        bits &= bits - 1;
+                        if (pos >= run_end) break;
+                        if (fr + (pos - i) < start_rune) continue;
+                        int64_t end;
+                        if (tc_uncased_verify(data, pos, n, 0, nd, k, fold1,
+                                              mkeys, moffs, mvals, mcount,
+                                              &end)) {
+                            *out_off = pos;
+                            *out_len = end - pos;
+                            return 1;
+                        }
+                    }
                 }
             }
             fr += run_end - i;
