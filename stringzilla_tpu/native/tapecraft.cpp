@@ -241,6 +241,18 @@ static inline int64_t tc_encode_one(uint32_t r, uint8_t* out) {
 
 // End of the pure-ASCII run starting at i (SWAR 8-byte probe).
 static inline int64_t tc_ascii_run(const uint8_t* data, int64_t i, int64_t n) {
+    // 64-byte vector blocks first (vectorized by -march), then SWAR + scalar.
+    typedef uint8_t v64 __attribute__((vector_size(64)));
+    while (i + 64 <= n) {
+        v64 x;
+        std::memcpy(&x, data + i, 64);
+        uint64_t words[8];
+        std::memcpy(words, &x, 64);
+        uint64_t any = 0;
+        for (int w = 0; w < 8; ++w) any |= words[w];
+        if (any & 0x8080808080808080ull) break;
+        i += 64;
+    }
     while (i + 8 <= n) {
         uint64_t w;
         std::memcpy(&w, data + i, 8);
