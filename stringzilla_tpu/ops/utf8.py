@@ -231,6 +231,88 @@ def _folded_with_spans(buf: bytes):
     return np.asarray(h_folded, dtype=np.int64), starts, ends
 
 
+_UNCASED_DEVICE_MIN = 1 << 20
+
+
+def _uncased_find_device(hb: bytes, nd_f: np.ndarray,
+                         min_bytes: int | None = None,
+                         allow_interpret: bool = False):
+    """Device tier for case-insensitive search over big, ASCII-dominant
+    buffers: fold ASCII on chip with the 256-LUT transform kernel (ASCII
+    case folding is 1:1 byte-level), stream the anomaly search kernel over
+    the folded bytes, and patch every window that can touch a non-ASCII run
+    with the exact native scanner. Byte-fold matches are genuine (a >=0x80
+    byte can never equal an ASCII needle byte, so any reported window is
+    all-ASCII); the patches only add the matches that *involve* non-ASCII
+    folding (K -> k, ß -> ss, ...). Returns ``(off, len)`` / ``(-1, 0)``,
+    or None when the shape doesn't qualify.
+    """
+    from ..utils import native, platform
+
+    if (platform.pallas_interpret() and not allow_interpret) \
+            or not native.available():
+        return None
+    k = int(len(nd_f))
+    n = len(hb)
+    if k == 0 or n < (
+            _UNCASED_DEVICE_MIN if min_bytes is None else min_bytes):
+        return None
+    from .find_pallas import BLOCK_ROWS, LANES, MAX_OFFSETS, search_positions
+
+    if k > MAX_OFFSETS or (np.asarray(nd_f) >= 0x80).any():
+        return None
+    tabs = _fold_tables()
+    if tabs is None:
+        return None
+    import jax.numpy as jnp
+
+    from .find import byteset_mask
+    from .memory_pallas import lookup_transform
+
+    arr = np.frombuffer(hb, dtype=np.uint8)
+    block = BLOCK_ROWS * LANES
+    padded = max(-(-n // block), 1) * block
+    buf = np.zeros(padded, dtype=np.uint8)
+    buf[:n] = arr
+    hay2d = jnp.asarray(buf.reshape(-1, LANES))
+    lut = np.arange(256, dtype=np.uint8)
+    lut[65:91] += 32  # A-Z → a-z; ASCII full case folding is exactly tolower
+    folded2d = lookup_transform(hay2d, padded, lut)
+    hi_ws = byteset_mask(bytes(range(128, 256)))
+    needle = np.asarray(nd_f, dtype=np.uint8)
+    margin = 4 * k + 8  # max source-byte span of a k-folded-rune window
+    pos = 0
+    for _ in range(64):  # too many unicode islands → whole-buffer native
+        p_a = int(search_positions(folded2d, n, "first", needle=needle, lo=pos))
+        p_hi = int(search_positions(hay2d, n, "first", byteset_words=hi_ws,
+                                    lo=pos))
+        if p_hi < 0:
+            return (p_a, k) if p_a >= 0 else (-1, 0)
+        if p_a >= 0 and p_a + k <= p_hi:
+            return (p_a, k)
+        # Exact native patch around the non-ASCII run: covers every window
+        # that can overlap it; all-ASCII windows before/after stay with the
+        # device scan.
+        w0 = max(pos, p_hi - margin)
+        run_end = p_hi
+        while run_end < n and arr[run_end] >= 0x80:
+            run_end += 1
+        w1 = min(n, run_end + margin)
+        res = native.utf8_uncased_find(arr[w0:w1], np.asarray(nd_f, np.uint32),
+                                       0, *tabs)
+        # Only starts BEFORE run_end are this patch's to decide: a window
+        # starting at or after run_end cannot touch this run (windows only
+        # extend forward), so the device scan / a later patch owns it — and
+        # the patch buffer is truncated at w1, which could otherwise hide an
+        # earlier crossing match while reporting a later in-buffer one.
+        if res is not None and 0 <= res[0] < run_end - w0:
+            return (w0 + res[0], res[1])
+        pos = run_end
+        if pos >= n:
+            return (-1, 0)
+    return None  # dense non-ASCII: caller falls through to the native scan
+
+
 def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     """Case-insensitive substring search; returns ``(byte_offset, byte_len)``
     in the ORIGINAL haystack bytes or ``(-1, 0)`` (``sz_utf8_uncased_search``,
@@ -245,6 +327,10 @@ def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     tabs = _fold_tables()
     if native.available() and tabs is not None:
         nd_f, _, _ = _folded_with_spans(nb)
+        if start_rune == 0:
+            dev = _uncased_find_device(hb, nd_f)
+            if dev is not None:
+                return dev
         res = native.utf8_uncased_find(
             np.frombuffer(hb, dtype=np.uint8), nd_f.astype(np.uint32),
             start_rune, *tabs)

@@ -251,3 +251,36 @@ def test_ucd_tables_sane():
     assert ucd.GCB_VALUES[ucd.gcb_classes()[0xAC00]] == "LV"
     assert ucd.SB_VALUES[ucd.sb_classes()[0x2E]] == "ATerm"
     assert ucd.LB_VALUES[ucd.lb_classes()[0x2014]] == "B2"
+
+
+def test_uncased_device_tier(rng):
+    """Device tier of uncased search (LUT fold + streaming find + native
+    patches around non-ASCII runs) vs the native scanner, interpreted."""
+    from stringzilla_tpu.ops.utf8 import _uncased_find_device, utf8_uncased_find
+    from stringzilla_tpu.ops import utf8 as U
+
+    # mostly-ASCII corpus with a handful of unicode islands (the tier bails
+    # to the native scan by design when islands are dense)
+    ascii_words = [b"alpha", b"BETA", b"Gamma", b"delta", b"epsilon"]
+    uni_words = ["ß".encode(), "École".encode(),
+                 b"Kelvin\xe2\x84\xaa"]  # U+212A folds to k
+    parts = [ascii_words[int(i)] for i in rng.integers(0, 5, 400)]
+    for slot, w in zip((50, 170, 290), uni_words):
+        parts[slot] = w
+    cases = []
+    base = b" ".join(parts)
+    cases.append((base, "beta"))
+    cases.append((base, "GAMMA d"))
+    cases.append((base, "ss"))            # matches ß via patch
+    cases.append((base, "kelvink"))       # needs the U+212A patch
+    cases.append((base, "zzznope"))
+    cases.append((b"x" * 3000, "xXx"))
+    cases.append((b"x" * 3000 + "préfixe".encode() + b"NEEDLE one",
+                  "needle"))
+    for hay, nd in cases:
+        nd_f, _, _ = U._folded_with_spans(nd.encode())
+        got = _uncased_find_device(hay, nd_f, min_bytes=0,
+                                   allow_interpret=True)
+        want = utf8_uncased_find(hay, nd)
+        assert got is not None, (nd,)
+        assert got == want, (nd, got, want)
