@@ -226,6 +226,17 @@ def bench_utf8_host(rng):
     assert r[0] == len(miss) - 12, r
     emit("utf8_uncased_find", len(miss) / best / 1e9, "GB/s", 3.0)
 
+    from stringzilla_tpu.ops.utf8 import utf8_norm
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = utf8_norm(corpus, "NFC")  # quick-check short-circuit path
+        best = min(best, time.perf_counter() - t0)
+    assert out == corpus
+    # no published reference GB/s row for sz_utf8_norm; report vs 1 GB/s
+    emit("utf8_norm_nfc_clean", n / best / 1e9, "GB/s", 1.0)
+
 
 def bench_fingerprints(rng):
     from stringzilla_tpu.models.fingerprints import Fingerprints

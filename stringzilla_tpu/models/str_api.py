@@ -64,11 +64,12 @@ class Str:
     """Zero-copy byte string with device-accelerated search (reference type
     ``Str``, ``python/stringzilla.c``; C++ ``sz::string_view``)."""
 
-    __slots__ = ("_buf", "_device_2d")
+    __slots__ = ("_buf", "_device_2d", "_device_folded")
 
     def __init__(self, data=b""):
         self._buf = _to_bytes_like(data)
         self._device_2d = None
+        self._device_folded = None
 
     # -- container protocol -------------------------------------------------
 
@@ -436,9 +437,34 @@ class Str:
         return Str(utf8_norm(bytes(self), form))
 
     def utf8_uncased_find(self, needle):
-        from ..ops.utf8 import utf8_uncased_find
+        """Case-insensitive search. Big ASCII-dominant buffers take the
+        device tier (on-chip LUT fold + streaming search) — the haystack and
+        its folded mirror are uploaded once and reused across calls, so the
+        host↔device transfer amortizes like the other ``Str`` device paths."""
+        from ..ops.utf8 import (_folded_with_spans, _uncased_find_device,
+                                utf8_uncased_find)
 
-        return utf8_uncased_find(bytes(self), _needle_bytes(needle))
+        nd = _needle_bytes(needle)
+        if self._use_device():
+            nd_f, _, _ = _folded_with_spans(nd)
+            dev = _uncased_find_device(
+                self._buf, nd_f, hay2d=self._device(),
+                folded2d=self._device_folded_2d())
+            if dev is not None:
+                return dev
+        return utf8_uncased_find(bytes(self), nd)
+
+    def _device_folded_2d(self):
+        """Cached ASCII-case-folded device mirror (256-LUT transform)."""
+        if self._device_folded is None:
+            from ..ops.memory_pallas import lookup_transform
+
+            lut = np.arange(256, dtype=np.uint8)
+            lut[65:91] += 32
+            h = self._device()
+            self._device_folded = lookup_transform(
+                h, int(h.shape[0]) * h.shape[1], lut)
+        return self._device_folded
 
     # -- order ----------------------------------------------------------------
 
@@ -596,6 +622,7 @@ class File(Str):
             # exported buffer pointers exist.
             self._buf = np.zeros(0, dtype=np.uint8)
             self._device_2d = None
+            self._device_folded = None
             self._mmap.close()
             self._file.close()
             self._mmap = None

@@ -234,9 +234,10 @@ def _folded_with_spans(buf: bytes):
 _UNCASED_DEVICE_MIN = 1 << 20
 
 
-def _uncased_find_device(hb: bytes, nd_f: np.ndarray,
+def _uncased_find_device(hb, nd_f: np.ndarray,
                          min_bytes: int | None = None,
-                         allow_interpret: bool = False):
+                         allow_interpret: bool = False,
+                         hay2d=None, folded2d=None):
     """Device tier for case-insensitive search over big, ASCII-dominant
     buffers: fold ASCII on chip with the 256-LUT transform kernel (ASCII
     case folding is 1:1 byte-level), stream the anomaly search kernel over
@@ -269,15 +270,19 @@ def _uncased_find_device(hb: bytes, nd_f: np.ndarray,
     from .find import byteset_mask
     from .memory_pallas import lookup_transform
 
-    arr = np.frombuffer(hb, dtype=np.uint8)
+    arr = (np.frombuffer(hb, dtype=np.uint8)
+           if isinstance(hb, (bytes, bytearray, memoryview))
+           else np.asarray(hb, dtype=np.uint8))
     block = BLOCK_ROWS * LANES
     padded = max(-(-n // block), 1) * block
-    buf = np.zeros(padded, dtype=np.uint8)
-    buf[:n] = arr
-    hay2d = jnp.asarray(buf.reshape(-1, LANES))
-    lut = np.arange(256, dtype=np.uint8)
-    lut[65:91] += 32  # A-Z → a-z; ASCII full case folding is exactly tolower
-    folded2d = lookup_transform(hay2d, padded, lut)
+    if hay2d is None:
+        buf = np.zeros(padded, dtype=np.uint8)
+        buf[:n] = arr
+        hay2d = jnp.asarray(buf.reshape(-1, LANES))
+    if folded2d is None:
+        lut = np.arange(256, dtype=np.uint8)
+        lut[65:91] += 32  # A-Z → a-z; ASCII case folding is exactly tolower
+        folded2d = lookup_transform(hay2d, int(hay2d.shape[0]) * LANES, lut)
     hi_ws = byteset_mask(bytes(range(128, 256)))
     needle = np.asarray(nd_f, dtype=np.uint8)
     margin = 4 * k + 8  # max source-byte span of a k-folded-rune window
@@ -327,10 +332,6 @@ def utf8_uncased_find(haystack, needle, start_rune: int = 0):
     tabs = _fold_tables()
     if native.available() and tabs is not None:
         nd_f, _, _ = _folded_with_spans(nb)
-        if start_rune == 0:
-            dev = _uncased_find_device(hb, nd_f)
-            if dev is not None:
-                return dev
         res = native.utf8_uncased_find(
             np.frombuffer(hb, dtype=np.uint8), nd_f.astype(np.uint32),
             start_rune, *tabs)

@@ -177,49 +177,139 @@ def _first_divergent(runes: np.ndarray, form: str) -> int:
     return -1
 
 
-def utf8_norm(data, form: str = "NFC") -> bytes:
-    """UAX-15 normalization of a UTF-8 buffer (``sz_utf8_norm``, reference
-    ``utf8_norm.h:46``). Quick-check clean input is returned as-is."""
-    from . import ucd
+def _islands(arr: np.ndarray):
+    """Non-ASCII byte islands, each extended ONE ASCII char backward.
+
+    ASCII is stable under every normal form (no decompositions, ccc 0,
+    QC Yes), and ASCII characters never pair-compose — so normalization can
+    only rewrite bytes inside a maximal non-ASCII run plus, through
+    recomposition, the single character immediately before it (e + ◌́ → é).
+    A window per island, bounded by untouched ASCII on both sides, is
+    therefore exact: nothing can interact across a window boundary.
+
+    Yields ``(w0, w1)`` byte ranges (w0 includes the backward extension).
+    """
+    hi = np.nonzero(arr >= 0x80)[0]
+    if hi.size == 0:
+        return
+    gaps = np.nonzero(np.diff(hi) > 1)[0]
+    starts = np.concatenate([[hi[0]], hi[gaps + 1]])
+    ends = np.concatenate([hi[gaps] + 1, [hi[-1] + 1]])
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        yield (s - 1 if s > 0 else 0), e
+
+
+def _dispatch(data, form: str):
+    """Common entry. ONE batched scan decides which islands are suspect:
+    the pure non-ASCII runs are concatenated (space-separated — islands
+    contain no ASCII), decoded natively in one call, and quick-check/ccc
+    gathered vectorized. Only suspect islands — a Maybe/No rune or an
+    ordering violation — are decoded individually afterwards.
+
+    Returns ``(buf, [(w0, w1, runes) for each SUSPECT island])`` where w0
+    includes the one-ASCII-char backward extension (recomposition reach).
+    """
     from .utf8 import _as_bytes, utf8_decode
+    from . import ucd
 
     buf = _as_bytes(data)
+    arr = np.frombuffer(buf, dtype=np.uint8)
     if form not in _FORMS:
         raise ValueError(f"form must be one of {_FORMS}")
+    wins = list(_islands(arr))
+    if not wins:
+        return buf, []
+    sep = np.array([32], np.uint8)
+    parts = []
+    for w0, w1 in wins:
+        core0 = w0 + 1 if arr[w0] < 0x80 else w0  # drop the ASCII extension
+        parts.append(arr[core0:w1])
+        parts.append(sep)
+    cat = np.concatenate(parts).tobytes()
+    try:
+        from .segment import decode_runes
+
+        runes, _offs = decode_runes(cat)
+    except Exception:  # pragma: no cover — native decoder unavailable
+        runes = utf8_decode(cat)
+    runes = np.asarray(runes, dtype=np.int64)
+    sep_mask = runes == 32
+    island_id = np.concatenate([[0], np.cumsum(sep_mask)[:-1]])
+    qc = (ucd.qc_classes()[runes] >> _QC_SHIFT[form]) & 0x3
+    c = ucd.ccc()[runes]
+    bad = qc != 0
+    if len(runes) > 1:
+        viol = np.zeros(len(runes), dtype=bool)
+        viol[1:] = (c[1:] != 0) & (c[1:] < c[:-1])
+        bad |= viol
+    bad &= ~sep_mask
+    suspect_ids = np.unique(island_id[bad])
+    out = []
+    for i in suspect_ids.tolist():
+        w0, w1 = wins[i]
+        out.append((w0, w1, utf8_decode(buf[w0:w1])))
+    return buf, out
+
+
+def utf8_norm(data, form: str = "NFC") -> bytes:
+    """UAX-15 normalization of a UTF-8 buffer (``sz_utf8_norm``, reference
+    ``utf8_norm.h:46``). The ASCII bulk is passed through untouched at
+    memory speed (the reference's quick-check short-circuit,
+    ``README.md:899-903``); only non-ASCII islands are decoded, checked,
+    and — when actually denormalized — rewritten and spliced back."""
+    from . import ucd
+
     if not ucd.available():  # tables unavailable → stdlib fallback
+        from .utf8 import _as_bytes
+
         import unicodedata
 
+        buf = _as_bytes(data)
+        if form not in _FORMS:
+            raise ValueError(f"form must be one of {_FORMS}")
         return unicodedata.normalize(
             form, buf.decode("utf-8", "replace")).encode("utf-8")
-    runes = utf8_decode(buf)
-    if _first_divergent(runes, form) < 0:
+    buf, wins = _dispatch(data, form)
+    dirty = []
+    for w0, w1, runes in wins:
+        if _first_divergent(runes, form) >= 0:
+            dirty.append((w0, w1, _encode(normalize_runes(runes, form))))
+    if not dirty:
         return bytes(buf)
-    return _encode(normalize_runes(runes, form))
+    parts, pos = [], 0
+    for w0, w1, rep in dirty:
+        parts.append(buf[pos:w0])
+        parts.append(rep)
+        pos = w1
+    parts.append(buf[pos:])
+    return b"".join(parts)
 
 
 def utf8_is_normalized(data, form: str = "NFC") -> bool:
     from . import ucd
-    from .utf8 import _as_bytes, utf8_decode
 
-    buf = _as_bytes(data)
     if not ucd.available():
+        from .utf8 import _as_bytes
+
         import unicodedata
 
-        return unicodedata.is_normalized(form, buf.decode("utf-8", "replace"))
-    return _first_divergent(utf8_decode(buf), form) < 0
+        return unicodedata.is_normalized(
+            form, _as_bytes(data).decode("utf-8", "replace"))
+    _, wins = _dispatch(data, form)
+    return all(_first_divergent(runes, form) < 0 for _, _, runes in wins)
 
 
 def utf8_find_denormalized(data, form: str = "NFC") -> int:
     """Byte offset of the first combining sequence that is not in normal
     form, or -1 (``sz_utf8_find_denormalized``, reference ``utf8_norm.h:60``)."""
     from . import ucd
-    from .utf8 import _as_bytes, utf8_decode
 
-    buf = _as_bytes(data)
     if not ucd.available():
+        from .utf8 import _as_bytes
+
         import unicodedata
 
-        s = buf.decode("utf-8", "replace")
+        s = _as_bytes(data).decode("utf-8", "replace")
         if unicodedata.is_normalized(form, s):
             return -1
         t = unicodedata.normalize(form, s)
@@ -230,8 +320,9 @@ def utf8_find_denormalized(data, form: str = "NFC") -> int:
         while seq_start > 0 and unicodedata.combining(s[seq_start]):
             seq_start -= 1
         return len(s[:seq_start].encode("utf-8"))
-    runes = utf8_decode(buf)
-    i = _first_divergent(runes, form)
-    if i < 0:
-        return -1
-    return int(len(_encode(runes[:i])))
+    _, wins = _dispatch(data, form)
+    for w0, _w1, runes in wins:
+        i = _first_divergent(runes, form)
+        if i >= 0:
+            return w0 + int(len(_encode(runes[:i])))
+    return -1
