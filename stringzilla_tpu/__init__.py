@@ -61,9 +61,59 @@ def count(haystack, needle, allowoverlap: bool = True) -> int:
 
 
 
+def split(text, separator=b" ", maxsplit: int = -1, keepseparator: bool = False):
+    """Split into a zero-copy ``Strs`` view (binding ``Str.split``)."""
+    s = text if isinstance(text, Str) else Str(text)
+    return s.split(separator, maxsplit=maxsplit, keepseparator=keepseparator)
+
+
+def split_iter(text, separator=b" ", keepseparator: bool = False):
+    """Lazy split iterator (binding ``Str.split_iter``; ``find_splits_view``,
+    reference ``stringzilla.hpp:742``)."""
+    s = text if isinstance(text, Str) else Str(text)
+    return s.split_iter(separator, keepseparator=keepseparator)
+
+
+def splitlines(text, keeplinebreaks: bool = False):
+    s = text if isinstance(text, Str) else Str(text)
+    return s.splitlines(keeplinebreaks=keeplinebreaks)
+
+
+def translate(text, lut) -> bytes:
+    """256-byte LUT transform (``sz_lookup``; binding ``Str.translate``)."""
+    s = text if isinstance(text, Str) else Str(text)
+    return bytes(s.translate(lut))
+
+
+def sha256(data) -> bytes:
+    """One-shot SHA-256 digest (own FIPS 180-4 implementation)."""
+    return Sha256(bytes(data) if not isinstance(data, (bytes, bytearray))
+                  else data).digest()
+
+
+def reset_capabilities(*caps) -> None:
+    """Restrict/restore the backend tier (binding ``sz.reset_capabilities``,
+    reference ``README.md:954-962``): ``reset_capabilities('serial')`` forces
+    the interpreted/jnp tier, ``reset_capabilities()`` restores hardware
+    dispatch."""
+    if not caps or caps == ("all",):
+        platform.force_backend(None)
+    elif "serial" in caps or "interpret" in caps:
+        platform.force_backend("interpret")
+    elif "tpu" in caps or "pallas" in caps:
+        platform.force_backend("tpu")
+    else:
+        raise ValueError(f"unknown capability set {caps!r}")
+
+
 find_byteset = _find.find_byteset
 rfind_byteset = _find.rfind_byteset
 hash = sz_hash  # noqa: A001 - intentional API parity with the reference
+order = compare_order  # reference binding name
+argsort = argsort_strings
+lookup = translate
+utf8_is_normalized = _u.utf8_is_normalized
+utf8_find_cased = _u.utf8_find_cased
 utf8_count = _u.utf8_count
 utf8_decode = _u.utf8_decode
 utf8_seek = _u.utf8_seek
@@ -109,8 +159,19 @@ __all__ = [
     "compare_order",
     "equal",
     "intersect",
+    "order",
+    "argsort",
+    "lookup",
+    "translate",
+    "split",
+    "split_iter",
+    "splitlines",
+    "sha256",
+    "reset_capabilities",
     "rfind",
     "rfind_byteset",
+    "utf8_is_normalized",
+    "utf8_find_cased",
     "utf8_count",
     "utf8_decode",
     "utf8_seek",
