@@ -161,6 +161,29 @@ def main():
         ok &= (h[i] == eh).all() and (c[i] == ec).all()
     check("fingerprints/device bit-identity", ok)
 
+    # --- batched SHA-256 (unrolled TPU tier + multi-block scan tier) ---
+    import hashlib
+
+    from stringzilla_tpu.ops.sha256 import sha256_batch
+
+    msgs = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+            for n in list(rng.integers(0, 120, 60)) + [600]]
+    dig = sha256_batch(msgs)
+    check("sha256/device batch", all(
+        bytes(dig[i]) == hashlib.sha256(m).digest() for i, m in enumerate(msgs)))
+
+    # --- uncased search device tier (LUT fold + streaming find + patches) ---
+    body = rng.integers(97, 123, (1 << 21)).astype(np.uint8).tobytes()
+    hay2 = body[:500_000] + "straße KelvinK".encode() + body[500_000:] \
+        + b" UniQueNdlZz"
+    s2 = sz.Str(hay2)
+    from stringzilla_tpu.ops.utf8 import utf8_uncased_find
+
+    want = utf8_uncased_find(hay2, "uniquendlzz")
+    check("uncased/device tier", s2.utf8_uncased_find("uniquendlzz") == want
+          and s2.utf8_uncased_find("STRASSE KELVINK")
+          == utf8_uncased_find(hay2, "STRASSE KELVINK"))
+
     print(f"\n{len(FAILED)} failures" if FAILED else "\nALL CHECKS PASSED ON TPU")
     sys.exit(1 if FAILED else 0)
 

@@ -11,8 +11,10 @@
 // All functions are plain-C ABI, operate on caller-owned buffers, and are
 // thread-free (callers parallelize if they care; packing is memory-bound).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -603,6 +605,39 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
     return 0;
 }
 
-int tc_version(void) { return 3; }
+// Stable argsort of a dense key matrix keys[n][w] (u32 rows, column 0 most
+// significant — the pgram-key layout tc_pgram_keys emits).  The reference
+// quick-sorts exported pgrams and recurses into equal runs
+// (sort/serial.h:25-105); here: one MSD pass bucketing on the top 16 bits
+// (counting sort, stable), then an introsort per bucket comparing the full
+// key rows with the original index as the final tiebreak — adaptive like
+// the reference's recursion (unique prefixes never look at deeper words).
+void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
+                     int64_t* order) {
+    if (n <= 0) return;
+    std::vector<int64_t> counts(65537, 0);
+    for (int64_t i = 0; i < n; ++i) ++counts[(keys[i * w] >> 16) + 1];
+    for (int64_t d = 0; d < 65536; ++d) counts[d + 1] += counts[d];
+    for (int64_t i = 0; i < n; ++i)
+        order[counts[keys[i * w] >> 16]++] = i;
+    // counts[d] is now the exclusive end of bucket d
+    auto cmp = [keys, w](int64_t a, int64_t b) {
+        const uint32_t* ra = keys + a * w;
+        const uint32_t* rb = keys + b * w;
+        if ((ra[0] & 0xFFFF) != (rb[0] & 0xFFFF))
+            return (ra[0] & 0xFFFF) < (rb[0] & 0xFFFF);
+        for (int32_t c = 1; c < w; ++c)
+            if (ra[c] != rb[c]) return ra[c] < rb[c];
+        return a < b;  // stability
+    };
+    int64_t lo = 0;
+    for (int64_t d = 0; d < 65536; ++d) {
+        int64_t hi = counts[d];
+        if (hi - lo > 1) std::sort(order + lo, order + hi, cmp);
+        lo = hi;
+    }
+}
+
+int tc_version(void) { return 4; }
 
 }  // extern "C"

@@ -85,6 +85,13 @@ void tc_pgram_keys(const uint8_t* data, const int64_t* starts,
                    const int64_t* ends, int64_t count, uint32_t* out,
                    int words_per_str, int uncased, int reverse);
 
+/* Stable argsort of a dense (n, w) u32 key matrix, column 0 most
+ * significant (the layout tc_pgram_keys emits): MSD counting pass on the
+ * top 16 bits + per-bucket introsort over the full rows.  Writes the
+ * permutation to order[n]. */
+void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
+                     int64_t* order);
+
 /* ---- checksums ---- */
 
 uint64_t tc_bytesum(const uint8_t* data, int64_t n);

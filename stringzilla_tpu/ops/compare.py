@@ -35,7 +35,7 @@ def order(a, b) -> int:
 
 
 def _keys_for(items: list[bytes]) -> np.ndarray:
-    lens = np.fromiter((len(s) for s in items), dtype=np.int64, count=len(items))
+    lens = np.fromiter(map(len, items), dtype=np.int64, count=len(items))
     offsets = np.zeros(len(items) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     data = np.frombuffer(b"".join(items), dtype=np.uint8)

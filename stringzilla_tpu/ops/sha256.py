@@ -217,7 +217,7 @@ def sha256_batch(items) -> np.ndarray:
 
     items = [bytes(s) for s in items]
     out = np.empty((len(items), 32), dtype=np.uint8)
-    all_lens = np.fromiter((len(s) for s in items), dtype=np.int64,
+    all_lens = np.fromiter(map(len, items), dtype=np.int64,
                            count=len(items))
     offsets = np.zeros(len(items) + 1, dtype=np.int64)
     np.cumsum(all_lens, out=offsets[1:])

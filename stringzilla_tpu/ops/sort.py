@@ -80,7 +80,10 @@ def _argsort_keys(keys: np.ndarray, top_count: int | None,
     specializations amortize across sizes)."""
     n = keys.shape[0]
     if not prefer_device or n < _DEVICE_MIN_ITEMS:
-        order = np.lexsort(tuple(keys[:, c] for c in reversed(range(keys.shape[1]))))
+        order = native.argsort_keys(keys)
+        if order is None:  # no native library → numpy lexsort
+            order = np.lexsort(
+                tuple(keys[:, c] for c in reversed(range(keys.shape[1]))))
     else:
         m = 1 << (n - 1).bit_length()
         if m != n:
@@ -118,7 +121,7 @@ def argsort_strings(items: list[bytes], reverse: bool = False,
     if len(items) == 0:
         return np.zeros(0, dtype=np.int64)
     if native.available():
-        lens = np.fromiter((len(s) for s in items), dtype=np.int64,
+        lens = np.fromiter(map(len, items), dtype=np.int64,
                            count=len(items))
         offsets = np.zeros(len(items) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])

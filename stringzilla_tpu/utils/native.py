@@ -89,6 +89,7 @@ def lib():
         L.tc_split_lines.restype = c_i64
         L.tc_pgram_keys.argtypes = [c_p, c_p, c_p, c_i64, c_p, c_i64,
                                     ctypes.c_int, ctypes.c_int]
+        L.tc_argsort_keys.argtypes = [c_p, c_i64, ctypes.c_int32, c_p]
         L.tc_bytesum.argtypes = [c_p, c_i64]
         L.tc_bytesum.restype = ctypes.c_uint64
         L.tc_utf8_decode.argtypes = [c_p, c_i64, c_p, c_p]
@@ -288,6 +289,19 @@ def utf8_uncased_find(data: np.ndarray, needle_folded: np.ndarray,
         _ptr(np.ascontiguousarray(moffs)), _ptr(np.ascontiguousarray(mvals)),
         len(mkeys), ctypes.byref(off), ctypes.byref(ln))
     return (off.value, ln.value) if hit else (-1, 0)
+
+
+def argsort_keys(keys: np.ndarray) -> np.ndarray | None:
+    """Stable argsort of a (n, w) u32 key matrix (column 0 most significant);
+    None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n, w = keys.shape
+    order = np.empty(n, dtype=np.int64)
+    L.tc_argsort_keys(_ptr(keys), n, w, _ptr(order))
+    return order
 
 
 def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,

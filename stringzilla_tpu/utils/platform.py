@@ -18,6 +18,32 @@ import jax
 _FORCED: str | None = None
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (per-user, like the native-runtime .so
+    cache): first-compile of a kernel shape costs 5-60 s on the TPU tunnel,
+    and the bench suite isolates metrics in subprocesses — without a disk
+    cache every process pays every compile again. Opt out with
+    ``SZ_TPU_NO_COMPILE_CACHE=1``; an explicit JAX_COMPILATION_CACHE_DIR or
+    prior config wins."""
+    if os.environ.get("SZ_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        path = os.path.join(base, "stringzilla_tpu", "jax-cache")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took noticeable compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+
 @functools.lru_cache(maxsize=None)
 def default_backend() -> str:
     return jax.default_backend()

@@ -137,3 +137,25 @@ def test_lazy_iterator_views():
     assert [bytes(x) for x in Str(b"aaa").split_iter(b"aa")] == [b"", b"a"]
     gen = s.split_iter(b",")  # lazily evaluated, one find per next()
     assert bytes(next(gen)) == b"one"
+
+
+def test_module_binding_surface():
+    """The reference binding's module-level function names all resolve and
+    behave (``python/stringzilla.c:9531-9612``)."""
+    import hashlib
+
+    import stringzilla_tpu as sz
+
+    assert sz.sha256(b"abc") == hashlib.sha256(b"abc").digest()
+    assert bytes(sz.translate(b"abc", bytes(range(256)).upper())) == b"ABC"
+    assert [bytes(p) for p in sz.split(b"a b c")] == [b"a", b"b", b"c"]
+    assert [bytes(p) for p in sz.split_iter(b"a b c")] == [b"a", b"b", b"c"]
+    assert [bytes(p) for p in sz.splitlines(b"x\ny")] == [b"x", b"y"]
+    assert sz.order(b"a", b"b") == -1 and sz.order(b"b", b"a") == 1
+    assert list(sz.argsort([b"b", b"a"])) == [1, 0]
+    assert sz.utf8_is_normalized("café") and sz.utf8_find_cased(b"abC") == 2
+    sz.reset_capabilities("serial")
+    try:
+        assert sz.find(b"xxhayxx", b"hay") == 2
+    finally:
+        sz.reset_capabilities()
