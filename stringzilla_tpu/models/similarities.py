@@ -256,11 +256,13 @@ class _CrossProductEngine:
                     if ndev > 1:
                         res = sharded_myers(
                             jnp.asarray(q_t), jnp.asarray(qlens), block_j,
-                            lens_j, scope.mesh, lane_block=lane_block)
+                            lens_j, scope.mesh, lane_block=lane_block,
+                            alphabet=None if self._utf8 else 256)
                     else:
                         res = myers_pallas(
                             jnp.asarray(q_t), jnp.asarray(qlens), block_j,
-                            lens_j, lane_block=lane_block)
+                            lens_j, lane_block=lane_block,
+                            alphabet=None if self._utf8 else 256)
                 else:
                     rows = round_up(q_bucket + 1, 8)
                     q_ext_t, qlens = _pack_queries(q_tape, q_offsets, q_idx, rows)

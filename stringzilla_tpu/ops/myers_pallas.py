@@ -86,7 +86,7 @@ def _uless(a, b):
     return (a ^ INT_MIN) < (b ^ INT_MIN)
 
 
-def _kernel(words: int, cand_len: int, qpack: int, refs):
+def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
     q_ref, qlen_ref, cands_ref, clens_ref, out_ref = refs
     rows = words * 32  # per query
     grows = qpack * words  # stacked state rows
@@ -138,12 +138,46 @@ def _kernel(words: int, cand_len: int, qpack: int, refs):
     row_in_word = jax.lax.broadcasted_iota(jnp.int32, (grows, 1), 0) % words
     first_of_group = row_in_word == 0
 
+    if alphabet is not None:
+        # Byte alphabet: fold the query into the packing matmul ONCE —
+        # P[o, b] = Σ_i S8[o, i]·[q_i == b] — so the per-step mask build
+        # compares the candidate char against 256 alphabet rows instead of
+        # qpack·rows query rows (≈2× less VPU work at the default packing;
+        # the reference's analog is its 256-entry PEQ table,
+        # serial.hpp:2189, built per pair instead of gathered per step).
+        # Exactness: the MXU truncates f32 operands to bf16 passes, so P is
+        # packed in 8-BIT pieces — every entry is a sum of distinct powers
+        # of two below 2^8 ≤ 255, exact in bf16; the per-step one-hot
+        # matmul then selects single P entries with no accumulation error.
+        oi8 = jax.lax.broadcasted_iota(jnp.int32, (qpack * 4 * words, qpack * rows), 0)
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (qpack * 4 * words, qpack * rows), 1)
+        o_grp8, o_rem8 = oi8 // (4 * words), oi8 % (4 * words)
+        o_piece, o_word8 = o_rem8 // words, o_rem8 % words
+        rel8 = (ri8 % rows) - o_word8 * 32 - o_piece * 8
+        S8 = jnp.where((o_grp8 == (ri8 // rows)) & (rel8 >= 0) & (rel8 < 8),
+                       jnp.left_shift(jnp.int32(1), jnp.clip(rel8, 0, 7)),
+                       0).astype(jnp.bfloat16)
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (qpack * rows, alphabet), 1)
+        Q1 = (q == b_iota).astype(jnp.bfloat16)
+        P = jax.lax.dot_general(S8, Q1, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)
+        alpha_col = jax.lax.broadcasted_iota(jnp.int32, (alphabet, 1), 0)
+
     def build_eq(j):
         """Packed match mask for (1-based) step j; clamped read past the end
         so the pipelined prefetch of step cand_len+1 stays in bounds."""
         jc = jnp.minimum(j - 1, cand_len - 1)
         c_row = cands_ref[pl.ds(jc, 1), :]  # (1, lanes) int32
-        # Padded query rows are -1 and never match a real char/rune.
+        if alphabet is not None:
+            ohc = (alpha_col == c_row).astype(jnp.bfloat16)  # (alphabet, lanes)
+            p4 = jax.lax.dot_general(P, ohc, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            p4 = p4.astype(jnp.int32).reshape(qpack, 4, words, lanes)
+            return (p4[:, 0] | (p4[:, 1] << 8) | (p4[:, 2] << 16)
+                    | (p4[:, 3] << 24)).reshape(grows, lanes)
+        # Unbounded alphabet (UTF-32 runes): compare the query column
+        # directly. Padded query rows are -1 and never match.
         eqf = (q == c_row).astype(jnp.bfloat16)  # (qpack*rows, lanes)
         lohi = jax.lax.dot_general(S, eqf, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -229,7 +263,7 @@ def _kernel(words: int, cand_len: int, qpack: int, refs):
 
 @functools.lru_cache(maxsize=256)
 def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
-           lane_block: int, qpack: int, interpret: bool):
+           lane_block: int, qpack: int, alphabet, interpret: bool):
     grid = (n_qblocks, n_cands // lane_block)
     rows = words * 32
 
@@ -244,7 +278,7 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
                      memory_space=pltpu.VMEM),
     ]
 
-    kernel = functools.partial(_kernel, words, cand_len, qpack)
+    kernel = functools.partial(_kernel, words, cand_len, qpack, alphabet)
     cost = pl.CostEstimate(
         flops=25 * qpack * words * cand_len * lane_block,
         bytes_accessed=(qpack * rows * 4 + cand_len * lane_block * 4
@@ -276,12 +310,15 @@ def myers_pallas(
     cands_t: jnp.ndarray,  # (cand_len, n_cands) int32
     clens: jnp.ndarray,  # (1, n_cands) int32
     lane_block: int | None = None,
+    alphabet: int | None = 256,
 ) -> jnp.ndarray:
     """All-pairs unit-cost edit distances ``(n_queries, n_cands) int32``.
 
     ``rows32`` must be a multiple of 32; queries longer than rows32 are a
     caller error. Lanes whose candidate is empty return ``qlen`` (all-gap).
-    Chars may be bytes or UTF-32 runes (any non-negative int32 values)."""
+    ``alphabet=256`` (the default) asserts all chars are bytes and enables
+    the folded one-hot Eq build; pass ``alphabet=None`` for UTF-32 runes or
+    any unbounded int32 alphabet."""
     rows, n_queries = q_t.shape
     assert rows % 32 == 0
     words = rows // 32
@@ -300,7 +337,7 @@ def myers_pallas(
             [jnp.asarray(qlens), jnp.zeros((n_qpad - n_queries, 1), jnp.int32)],
             axis=0)
     call = _build(words, cand_len, n_qpad // qpack, n_cands, lane_block,
-                  qpack, platform.pallas_interpret())
+                  qpack, alphabet, platform.pallas_interpret())
     queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
     out = call(queries_3d, jnp.asarray(qlens).reshape(n_qpad // qpack, qpack, 1),
                cands_t, clens)

@@ -32,12 +32,13 @@ __all__ = [
 
 
 def sharded_myers(q_t, qlens, cands_t, clens, mesh: Mesh,
-                  lane_block: int | None = None):
+                  lane_block: int | None = None, alphabet: int | None = 256):
     """Candidate-sharded Myers bit-parallel distances: queries replicated,
     candidates and results split along the mesh's ``data`` axis."""
 
     def run(q, ql, c, cl):
-        return myers_pallas(q, ql, c, cl, lane_block=lane_block)
+        return myers_pallas(q, ql, c, cl, lane_block=lane_block,
+                            alphabet=alphabet)
 
     fn = shard_map(
         run, mesh=mesh,
