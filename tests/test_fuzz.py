@@ -54,3 +54,45 @@ def test_fuzz_sort_hash_intersect(rng, iterations):
         other = words[100:200] + [b"zz_unique"]
         ia, ib = intersect(words, other)
         assert set(words[i] for i in ia) == (set(words) & set(other))
+
+
+def test_fuzz_norm(rng, iterations):
+    import unicodedata
+
+    from stringzilla_tpu.ops import utf8_norm as N
+
+    pool = (list(range(0x20, 0x7F)) + list(range(0xC0, 0x180))
+            + list(range(0x300, 0x315)) + [0x1100, 0x1161, 0x11A8, 0xAC00,
+                                           0x212B, 0xFB03, 0x0344])
+    for trial in range(iterations(150)):
+        n = int(rng.integers(0, 24))
+        s = "".join(chr(pool[int(i)]) for i in rng.integers(0, len(pool), n))
+        for form in ("NFC", "NFD", "NFKC", "NFKD"):
+            want = unicodedata.normalize(form, s)
+            got = N.utf8_norm(s, form).decode("utf-8")
+            assert got == want, (trial, form, s.encode("unicode_escape"))
+            assert (N.utf8_is_normalized(s, form)
+                    == unicodedata.is_normalized(form, s)), (trial, form, s)
+
+
+def test_fuzz_uncased_find(rng, iterations):
+    from stringzilla_tpu.ops.utf8 import utf8_uncased_find
+
+    pool = "abcAB ßKÉéK"
+    for trial in range(iterations(150)):
+        hay = "".join(pool[int(i)] for i in
+                      rng.integers(0, len(pool), int(rng.integers(0, 60))))
+        nd = "".join("abß k"[int(i)] for i in
+                     rng.integers(0, 5, int(rng.integers(1, 5))))
+        hb = hay.encode("utf-8")
+        got_off = utf8_uncased_find(hb, nd)[0]
+        # oracle: fold per char, track byte offsets
+        folded, offs, bpos = [], [], 0
+        for ch in hay:
+            for fc in ch.casefold():
+                folded.append(fc)
+                offs.append(bpos)
+            bpos += len(ch.encode("utf-8"))
+        p = "".join(folded).find(nd.casefold())
+        want = -1 if p < 0 else offs[p]
+        assert got_off == want, (trial, hay.encode("unicode_escape"), nd)
