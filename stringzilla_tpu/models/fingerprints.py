@@ -108,6 +108,10 @@ class Fingerprints:
         np.cumsum(lens, out=offsets[1:])
         blob = (np.concatenate(docs) if lens.sum() else np.zeros(0, np.uint8))
         sizes = np.array([_dyadic(x) for x in lens], dtype=np.int64)
+        # Enqueue every length bucket back-to-back, pull afterwards — the
+        # device executes in order, so one sync covers all buckets instead
+        # of a host round-trip per bucket.
+        pending = []
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
             count = round_up(len(idx), 128 * ndev)
@@ -130,6 +134,8 @@ class Fingerprints:
                     docs_j, lens_j, self._widths_arr, self._group_sizes,
                     self._mult, self._m_limbs, self._fd_limbs, self._inv_m,
                 )
+            pending.append((idx, h, c))
+        for idx, h, c in pending:
             h = np.asarray(h).view(np.uint32)
             c = np.asarray(c).view(np.uint32)
             # One permutation take + transpose (contiguous row gather) instead
