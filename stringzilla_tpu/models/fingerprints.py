@@ -114,7 +114,12 @@ class Fingerprints:
         pending = []
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
-            count = round_up(len(idx), 128 * ndev)
+            # Dyadic lane count: n_docs is a kernel compile key, so a dyadic
+            # ladder bounds the number of compiled specializations across
+            # calls/buckets (the padded lanes cost compute only — outputs
+            # are sliced to the true count on device before the pull).
+            count = round_up(1 << max(len(idx) - 1, 1).bit_length(),
+                             128 * ndev)
             docs_t = native.pack_u8(blob, offsets, idx, count, int(bucket),
                                     transpose=True)
             blens = np.zeros(count, dtype=np.int32)
@@ -134,7 +139,7 @@ class Fingerprints:
                     docs_j, lens_j, self._widths_arr, self._group_sizes,
                     self._mult, self._m_limbs, self._fd_limbs, self._inv_m,
                 )
-            pending.append((idx, h, c))
+            pending.append((idx, h[:, : len(idx)], c[:, : len(idx)]))
         for idx, h, c in pending:
             h = np.asarray(h).view(np.uint32)
             c = np.asarray(c).view(np.uint32)
