@@ -99,7 +99,10 @@ def _as_tape(arrs) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pack_candidates(tape, offsets, idx, length, count_multiple):
-    count = round_up(len(idx), count_multiple)
+    # Dyadic candidate count: n_cands is a kernel compile key — a dyadic
+    # ladder bounds the compiled specializations across corpora sizes (the
+    # padded lanes report all-gap distances and are sliced away on export).
+    count = round_up(1 << max(len(idx) - 1, 1).bit_length(), count_multiple)
     block, lens = native.pack_i32(tape, offsets, np.asarray(idx), count,
                                   length, transpose=True, fill=0, runes=True)
     return block, lens.reshape(1, count)
@@ -277,7 +280,9 @@ class _CrossProductEngine:
                             jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
                             self._cfg, table=self._table, lane_block=lane_block,
                         )
-                res = np.asarray(res)[: len(q_idx), : len(c_idx)]
+                # slice to true counts ON DEVICE — the dyadic lane padding
+                # must not inflate the host pull
+                res = np.asarray(res[: len(q_idx), : len(c_idx)])
                 out[np.ix_(q_idx, c_idx)] = res.astype(self.result_dtype)
         return out
 
