@@ -219,6 +219,207 @@ def _build(objective: str, locality: str, rows: int, use_classes: bool,
     return jax.jit(wrapped)
 
 
+# ---------------------------------------------------------------------------
+# Staged meet-in-the-middle tier (uniform costs, linear gaps, global)
+# ---------------------------------------------------------------------------
+#
+# The flat kernel above sizes its tile for the LONGEST diagonal and pays that
+# width on every step — ~2× waste on a square pair (the diagonal grows from 1
+# to m and shrinks back). This tier recovers it two ways (reference analog:
+# the CUDA warp-tile kernel walks only live tile-columns, cuda.cuh:708-749):
+#
+# * **meet in the middle**: a forward sweep of (a, b) to the middle
+#   anti-diagonal d* and a forward sweep of (reverse a, reverse b) to
+#   (m+n-d*) — both sweeps only ever GROW; the distance is recovered on the
+#   host from the two frontiers (including paths that JUMP the middle
+#   diagonal with a substitution step, which anti-diagonal DP allows);
+# * **staged tiles**: each sweep runs as a ladder of kernel launches whose
+#   tile height tracks the current diagonal extent; the DP state (two
+#   diagonals + the b shift register) carries between stages on device,
+#   padded with identities.
+
+
+def _stage_kernel(rows: int, rows_b: int, first: bool, interpret, refs):
+    """One ladder stage of the uniform-linear-global wavefront: run steps
+    ``d ∈ [d0, d1)`` carrying (D1, D2, T) in/out. After the loop
+    ``D1 = D[d1-1]``, ``D2 = D[d1-2]``."""
+    if first:
+        a_ref, b_ref, sm_ref, o1_ref, o2_ref, ot_ref = refs
+        i1_ref = i2_ref = it_ref = None
+    else:
+        a_ref, b_ref, sm_ref, i1_ref, i2_ref, it_ref, o1_ref, o2_ref, ot_ref = refs
+    m = sm_ref[0, 0]
+    n = sm_ref[0, 1]
+    d0 = sm_ref[0, 2]
+    d1 = sm_ref[0, 3]
+    match = sm_ref[0, 4]
+    mismatch = sm_ref[0, 5]
+    gap = sm_ref[0, 6]
+
+    shape = (rows, LANES)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    ident = jnp.int32(BIG)
+    qm1 = _flat_shift_down(a_ref[...], interpret)
+
+    if first:
+        D2 = jnp.where(flat == 0, 0, ident)
+        D1 = jnp.where(flat <= 1, gap, ident)
+        T = jnp.full(shape, -1, jnp.int32)
+        T = jnp.where(flat == 1, b_ref[0, 0], T)
+        T = jnp.where(flat == 0, jnp.where(n > 1, b_ref[0, 1], jnp.int32(-1)), T)
+    else:
+        D1, D2, T = i1_ref[...], i2_ref[...], it_ref[...]
+
+    def step(d, carry):
+        D1, D2, T = carry
+        sub = jnp.where(qm1 == T, match, mismatch)
+        D1s = _flat_shift_down(D1, interpret)
+        D2s = _flat_shift_down(D2, interpret)
+        cand = jnp.minimum(D1 + gap, D1s + gap)
+        cand = jnp.minimum(cand, D2s + sub)
+        cand = jnp.where(flat == 0, jnp.where(d <= n, gap * d, ident), cand)
+        cand = jnp.where(flat == d, jnp.where(d <= m, gap * d, ident), cand)
+        valid = (flat <= jnp.minimum(d, m)) & (flat >= jnp.maximum(d - n, 0))
+        cand = jnp.where(valid, cand, ident)
+        Ts = _flat_shift_down(T, interpret)
+        row = b_ref[pl.ds(jnp.minimum(d // LANES, rows_b - 1), 1), :]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        bd = jnp.sum(jnp.where(lane_iota == d % LANES, row, 0))
+        bd = jnp.where(d < n, bd, jnp.int32(-1))
+        T = jnp.where(flat == 0, bd, Ts)
+        return cand, D1, T
+
+    D1, D2, T = jax.lax.fori_loop(d0, d1, step, (D1, D2, T))
+    o1_ref[...] = D1
+    o2_ref[...] = D2
+    ot_ref[...] = T
+
+
+@functools.lru_cache(maxsize=64)
+def _build_stage(rows: int, rows_b: int, first: bool, interpret: bool):
+    kernel = functools.partial(_stage_kernel, rows, rows_b, first, interpret)
+    in_specs = [
+        pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_b, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if not first:
+        in_specs += [pl.BlockSpec((rows, LANES), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 3
+
+    def wrapped(*args):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=tuple(pl.BlockSpec((rows, LANES), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+                            for _ in range(3)),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+                            for _ in range(3)),
+            interpret=interpret,
+        )(*args)
+
+    return jax.jit(wrapped)
+
+
+def _sweep_frontier(a: np.ndarray, b: np.ndarray, m: int, n: int, d_end: int,
+                    match: int, mismatch: int, gap: int, n_stages: int = 4):
+    """Forward staged sweep to diagonal ``d_end``; returns
+    ``(D[d_end], D[d_end-1])`` as flat numpy arrays of length m+1."""
+    interp = platform.pallas_interpret()
+    rows_b = max(-(-max(n, 1) // LANES), 1)
+    b_pad = np.full(rows_b * LANES, -2, np.int32)
+    b_pad[:n] = b
+    b2 = jnp.asarray(b_pad.reshape(rows_b, LANES))
+
+    # ladder: stage s ends at d_s; tile must hold flat ≤ min(d_s - 1, m)
+    bounds = [2 + ((d_end - 1) * (s + 1)) // n_stages for s in range(n_stages)]
+    carry = None
+    d_prev = 2
+    for s, d_s in enumerate(bounds):
+        if s and d_s <= d_prev:
+            continue
+        ext = min(d_s - 1, m) + 1
+        rows = -(-max(-(-ext // LANES), 8) // 8) * 8
+        a_pad = np.full(rows * LANES, -2, np.int32)
+        seg = a[: min(m, rows * LANES)]
+        a_pad[: len(seg)] = seg
+        a2 = jnp.asarray(a_pad.reshape(rows, LANES))
+        sm = jnp.asarray(np.array(
+            [[m, n, d_prev, d_s, match, mismatch, gap, 0]], np.int32))
+        call = _build_stage(rows, rows_b, carry is None, interp)
+        if carry is None:
+            carry = call(a2, b2, sm)
+        else:
+            D1, D2, T = carry
+            grow = rows - D1.shape[0]
+            if grow > 0:
+                padD = jnp.full((grow, LANES), BIG, jnp.int32)
+                padT = jnp.full((grow, LANES), -1, jnp.int32)
+                D1 = jnp.concatenate([D1, padD], axis=0)
+                D2 = jnp.concatenate([D2, padD], axis=0)
+                T = jnp.concatenate([T, padT], axis=0)
+            carry = call(a2, b2, sm, D1, D2, T)
+        d_prev = d_s
+    D1, D2, _ = carry
+    f1 = np.asarray(D1).reshape(-1)[: m + 1]
+    f2 = np.asarray(D2).reshape(-1)[: m + 1]
+    return f1, f2
+
+
+def wavefront_score_mim(a: np.ndarray, b: np.ndarray, match: int = 0,
+                        mismatch: int = 1, gap: int = 1,
+                        n_stages: int = 4) -> int:
+    """Global min-cost alignment score of one long pair — staged
+    meet-in-the-middle wavefront (uniform substitution costs, linear gaps).
+    Exact: equals the full-sweep kernel / Wagner-Fischer.
+
+    Perf note (v5e, tunneled): the ladder saves ~40% of padded cells but
+    pays per-stage launch + frontier-pull overhead — measured crossover vs
+    ``wavefront_score`` is ≈150K chars (180K×180K: 45.8 vs 42.5 GCUPS), so
+    this stays a non-default tier; the flat kernel remains the router's
+    choice below that."""
+    a = np.asarray(a).astype(np.int32)
+    b = np.asarray(b).astype(np.int32)
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return (m + n) * gap
+    d_star = (m + n) // 2
+    if d_star < 2 or (m + n) - d_star < 2:
+        return wavefront_score(a, b, match, mismatch, gap)
+    # forward frontier at d*, backward (reversed inputs) at m+n-d*
+    F1, F0 = _sweep_frontier(a, b, m, n, d_star, match, mismatch, gap,
+                             n_stages)
+    B1, B0 = _sweep_frontier(a[::-1], b[::-1], m, n, (m + n) - d_star,
+                             match, mismatch, gap, n_stages)
+    i = np.arange(m + 1)
+    # paths touching diagonal d*: F[d*][i] + B[m+n-d*][m-i] (same cell, its
+    # cost counted once in each frontier... the cell value appears in both
+    # sums, so subtract nothing — frontiers are PATH COSTS to/from the cell)
+    big = np.int64(BIG)
+    f1 = F1.astype(np.int64)
+    b1 = B1[::-1].astype(np.int64)  # b1[i] = B[m+n-d*][m-i]
+    through = np.where((f1 < big) & (b1 < big), f1 + b1, 2 * big)
+    total = int(through.min())
+    # paths JUMPING d*-1 → d*+1 with one substitution/match step:
+    # F[d*-1][i] + sub(a[i], b[d*-1-i]) + B[m+n-d*-1][m-i-1]
+    f0 = F0.astype(np.int64)  # F[d*-1]
+    # the jump lands one diagonal past the middle: B[d2-1] is the backward
+    # sweep's second frontier (its D2)
+    b0 = np.full(m + 1, 2 * big, np.int64)
+    # b0[i] = B[d2-1][m-i-1] for i in [0, m)
+    b0[:m] = B0[::-1][1:].astype(np.int64)
+    j = d_star - 1 - i  # b index of the jumped cell's column, 0-based char b[j]
+    ok = (i >= 0) & (i < m) & (j >= 0) & (j < n)
+    sub = np.where(ok & (a[np.clip(i, 0, m - 1)]
+                         == b[np.clip(j, 0, n - 1)]), match, mismatch)
+    jump = np.where(ok & (f0 < big) & (b0 < big), f0 + sub + b0, 2 * big)
+    total = min(total, int(jump.min()))
+    return total
+
+
 def table_bitplanes(table: np.ndarray) -> np.ndarray:
     """Bit-slice a 32x32 signed cost table (biased +128) into 8 planes of
     32-bit row masks: planes[b][row] bit c = bit b of (table[row, c] + 128)."""

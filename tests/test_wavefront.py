@@ -109,3 +109,24 @@ def test_wavefront_affine(rng):
                               locality="local", table=table)
         assert got == score_affine(ab, bb, lambda x, y: int(table[x, y]),
                                    -5, -1, objective="max", local=True)
+
+
+def test_mim_staged_tier(rng):
+    """Staged meet-in-the-middle tier vs the flat kernel and the oracle."""
+    from stringzilla_tpu.ops.wavefront_pallas import (wavefront_score,
+                                                      wavefront_score_mim)
+
+    from .oracles import levenshtein
+
+    for _ in range(6):
+        m = int(rng.integers(4, 300))
+        n = int(rng.integers(4, 300))
+        a = rng.integers(97, 101, m).astype(np.uint8)
+        b = rng.integers(97, 101, n).astype(np.uint8)
+        assert wavefront_score_mim(a, b) == levenshtein(bytes(a), bytes(b))
+        got = wavefront_score_mim(a, b, match=0, mismatch=3, gap=2)
+        assert got == wavefront_score(a, b, match=0, mismatch=3, gap=2)
+    # degenerate shapes
+    assert wavefront_score_mim(np.zeros(0, np.uint8), b) == len(b)
+    assert wavefront_score_mim(a, np.zeros(0, np.uint8)) == len(a)
+    assert wavefront_score_mim(a[:1], b[:1]) in (0, 1)
