@@ -241,6 +241,27 @@ def bench_utf8_host(rng):
     emit("utf8_norm_nfc_clean", n / best / 1e9, "GB/s", 1.0)
 
 
+def bench_utf8_count_device(rng):
+    """Fused UTF-8 validation + rune count on device (own row; the
+    reference's utf8_runes kernels run 1-5 GB/s per core)."""
+    import jax.numpy as jnp
+
+    import stringzilla_tpu as sz
+    from stringzilla_tpu.ops.utf8_device import _validate_count
+
+    N = 1 << 28
+    blob = rng.integers(32, 127, N).astype(np.uint8)
+    pos = np.arange(1000, N - 2, 4096)
+    blob[pos] = 0xC3
+    blob[pos + 1] = 0xA9
+    s = sz.Str(blob.tobytes())
+    assert s.utf8_valid()
+    m = s._device()
+    n = jnp.int32(len(s))
+    dt = timed(lambda: _validate_count(m, n))
+    emit("utf8_validate_count_device", N / dt / 1e9, "GB/s", 1.0)
+
+
 def bench_fingerprints(rng):
     from stringzilla_tpu.models.fingerprints import Fingerprints
 
@@ -279,6 +300,7 @@ BENCHES = {
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,
     "fingerprints": bench_fingerprints,
+    "utf8_count_device": bench_utf8_count_device,
     "utf8_host": bench_utf8_host,
     "wavefront": bench_wavefront,
 }

@@ -114,6 +114,13 @@ argsort = argsort_strings
 lookup = translate
 utf8_is_normalized = _u.utf8_is_normalized
 utf8_find_cased = _u.utf8_find_cased
+
+
+def utf8_valid(data) -> bool:
+    """Well-formed UTF-8 check (device pass for big ``Str`` buffers)."""
+    from .ops.utf8_device import utf8_valid as _uv
+
+    return _uv(data)
 utf8_count = _u.utf8_count
 utf8_decode = _u.utf8_decode
 utf8_seek = _u.utf8_seek
@@ -172,6 +179,7 @@ __all__ = [
     "rfind_byteset",
     "utf8_is_normalized",
     "utf8_find_cased",
+    "utf8_valid",
     "utf8_count",
     "utf8_decode",
     "utf8_seek",

@@ -422,9 +422,23 @@ class Str:
     # -- UTF-8 conveniences (full layer in ops.utf8 / ops.utf8_segment) -------
 
     def utf8_count(self) -> int:
+        """Rune count. Big buffers run the fused device validation+count
+        pass (one streaming sweep over the cached mirror); invalid UTF-8
+        falls back to the host's exact U+FFFD maximal-subpart semantics."""
+        if self._use_device():
+            from ..ops.utf8_device import validate_count_device
+
+            valid, count = validate_count_device(self._device(), len(self))
+            if valid:
+                return count
         from ..ops.utf8 import utf8_count
 
         return utf8_count(bytes(self))
+
+    def utf8_valid(self) -> bool:
+        from ..ops.utf8_device import utf8_valid
+
+        return utf8_valid(self)
 
     def utf8_fold(self) -> "Str":
         from ..ops.utf8 import utf8_fold

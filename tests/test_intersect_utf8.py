@@ -114,3 +114,46 @@ def test_utf8_tokens_and_graphemes():
     assert len(U.utf8_graphemes("🇺🇸🇫🇷".encode())) == 2  # RI pairs
     assert len(U.utf8_graphemes("👩‍🚀".encode())) == 1  # ZWJ sequence
     assert len(U.utf8_graphemes(b"a\r\nb")) == 3  # CRLF is one cluster
+
+
+def test_utf8_device_validate_count(rng):
+    """Fused device validation+count pass vs CPython's decoder (structural,
+    overlong, surrogate, out-of-range, truncation cases + fuzz)."""
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.utf8_device import validate_count_device
+    from stringzilla_tpu.ops.utf8 import utf8_count
+
+    def check(buf: bytes):
+        pad = max(len(buf), 1)
+        arr = np.zeros(-(-pad // 128) * 128, np.uint8)
+        arr[: len(buf)] = np.frombuffer(buf, np.uint8)
+        valid, count = validate_count_device(jnp.asarray(arr.reshape(-1, 128)),
+                                             len(buf))
+        try:
+            buf.decode("utf-8")
+            want_valid = True
+        except UnicodeDecodeError:
+            want_valid = False
+        assert valid == want_valid, buf
+        if valid:
+            assert count == utf8_count(buf), buf
+
+    cases = [
+        b"", b"plain ascii", "héllo wörld".encode(), "日本語テキスト".encode(),
+        "emoji 🎉🎊".encode(), b"\x80", b"\xC0\xAF", b"\xC1\xBF",  # overlongs
+        b"\xE0\x80\x80", b"\xE0\xA0\x80",  # 3-byte overlong vs minimal valid
+        b"\xED\x9F\xBF", b"\xED\xA0\x80",  # below vs inside surrogates
+        b"\xF0\x8F\xBF\xBF", b"\xF0\x90\x80\x80",  # 4-byte overlong vs valid
+        b"\xF4\x8F\xBF\xBF", b"\xF4\x90\x80\x80",  # U+10FFFF vs above
+        b"\xF5\x80\x80\x80", b"\xFF", b"ok\xC3",  # bad lead, truncation
+        b"ok\xE2\x82", "ab€cd".encode()[:-1], b"\xC3\xA9" * 50,
+    ]
+    for buf in cases:
+        check(buf)
+    pool = ("xyz".encode(), "é".encode(), "€".encode(), "🎉".encode(),
+            b"\xC3", b"\x80", b"\xED\xA0\x80", b"\xF4\x90\x80\x80")
+    for _ in range(200):
+        parts = [pool[int(i)] for i in rng.integers(0, len(pool),
+                                                    int(rng.integers(0, 12)))]
+        check(b"".join(parts))
