@@ -247,7 +247,7 @@ def bench_utf8_count_device(rng):
     import jax.numpy as jnp
 
     import stringzilla_tpu as sz
-    from stringzilla_tpu.ops.utf8_device import _validate_count
+    from stringzilla_tpu.ops.utf8_device import _validate_count_raw
 
     N = 1 << 28
     blob = rng.integers(32, 127, N).astype(np.uint8)
@@ -257,8 +257,8 @@ def bench_utf8_count_device(rng):
     s = sz.Str(blob.tobytes())
     assert s.utf8_valid()
     m = s._device()
-    n = jnp.int32(len(s))
-    dt = timed(lambda: _validate_count(m, n))
+    n = len(s)
+    dt = timed(lambda: _validate_count_raw(m, n))
     emit("utf8_validate_count_device", N / dt / 1e9, "GB/s", 1.0)
 
 

@@ -5,8 +5,8 @@ The reference's rune layer is register-wide lead-byte classification
 per-ISA kernels under ``utf8_runes/``). The TPU analog: RFC 3629 validity is
 a *local* property — every byte's class must agree with the class of the
 1-3 bytes before it — so the whole check vectorizes into shifted compares
-that XLA fuses into one streaming pass over the buffer (no Pallas needed;
-the ops are elementwise + static shifts):
+over VMEM-resident u8 blocks (one Pallas streaming pass; halo rows give
+the ±3-byte context across block boundaries):
 
 * structural: continuation bytes exactly where a preceding lead demands;
 * range: no C0/C1/F5-FF leads, no overlongs (E0 A0.., F0 90..), no
@@ -21,6 +21,8 @@ the host's exact maximal-subpart (U+FFFD) semantics.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,45 +30,135 @@ import numpy as np
 __all__ = ["validate_count_device", "utf8_valid"]
 
 
-@jax.jit
-def _validate_count(mirror: jnp.ndarray, n: jnp.ndarray):
-    """``(valid bool[], rune_count i32[])`` for the first ``n`` bytes of a
-    zero-padded u8 device mirror (any shape; flattened row-major)."""
-    b = mirror.reshape(-1).astype(jnp.int32)
-    idx = jnp.arange(b.shape[0], dtype=jnp.int32)
-    in_buf = idx < n
+def _validate_count_raw(mirror: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Pallas tier: returns the (1, 2) i32 device array
+    ``[[violations, rune_count]]`` (no host sync — benchable)."""
+    from ..utils import platform
 
-    cont = (b & 0xC0) == 0x80
-    l2 = (b >= 0xC2) & (b <= 0xDF)
-    l3 = (b & 0xF0) == 0xE0
-    l4 = (b >= 0xF0) & (b <= 0xF4)
-    bad_lead = (b >= 0x80) & ~cont & ~l2 & ~l3 & ~l4  # C0 C1 F5-FF
-
-    def prev(x, k):
-        pad = jnp.zeros((k,), x.dtype)
-        return jnp.concatenate([pad, x[:-k]])
-
-    must_cont = (prev(l2 | l3 | l4, 1) | prev(l3 | l4, 2) | prev(l4, 3))
-    # padding is zero (ASCII): a truncated trailing sequence shows up as
-    # must_cont=True on a non-continuation padding byte — checked unmasked.
-    ok_struct = jnp.all(cont == must_cont)
-
-    p1 = prev(b, 1)
-    bad_rng = cont & (((p1 == 0xE0) & (b < 0xA0))     # overlong 3-byte
-                      | ((p1 == 0xED) & (b >= 0xA0))  # UTF-16 surrogates
-                      | ((p1 == 0xF0) & (b < 0x90))   # overlong 4-byte
-                      | ((p1 == 0xF4) & (b >= 0x90)))  # > U+10FFFF
-
-    valid = ok_struct & ~jnp.any((bad_lead | bad_rng) & in_buf)
-    count = jnp.sum((~cont & in_buf).astype(jnp.int32))
-    return valid, count
+    rows = int(mirror.shape[0])
+    nb = max(-(-rows // _VAL_BLOCK), 1)
+    if nb * _VAL_BLOCK * 128 - n < 3:
+        nb += 1  # room for the truncated-trailing-lead check at pos n..n+2
+    if rows != nb * _VAL_BLOCK:
+        mirror = jnp.concatenate(
+            [mirror, jnp.zeros((nb * _VAL_BLOCK - rows, 128), mirror.dtype)],
+            axis=0)
+    halo = jnp.zeros((_VAL_HALO, 128), mirror.dtype)
+    padded = jnp.concatenate([halo, mirror, halo], axis=0)
+    call = _build_val(nb, platform.pallas_interpret())
+    return call(padded, mirror, jnp.asarray([[n]], jnp.int32))
 
 
 def validate_count_device(mirror, n: int):
     """Run the fused validation+count pass on a device mirror; returns
     ``(bool, int)`` after one host pull."""
-    v, c = _validate_count(mirror, jnp.int32(n))
-    return bool(np.asarray(v)), int(np.asarray(c))
+    out = np.asarray(_validate_count_raw(jnp.asarray(mirror), n))
+    return int(out[0, 0]) == 0, int(out[0, 1])
+
+
+# ---------------------------------------------------------------------------
+# Pallas tier: the same checks over VMEM-resident u8 blocks (the XLA tier
+# widens every shifted copy to int32 in HBM — ~10× the traffic).
+# ---------------------------------------------------------------------------
+
+_VAL_BLOCK = 1024  # haystack rows per grid step (128 KiB, as find_pallas)
+_VAL_HALO = 32  # u8 min tile; covers the ±3-byte context
+
+
+def _val_kernel(interpret: bool, refs):
+    from jax.experimental import pallas as pl
+
+    prev_ref, main_ref, next_ref, n_ref, out_ref = refs
+    from .find_pallas import _shifted
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = jnp.int32(0)  # violations
+        out_ref[0, 1] = jnp.int32(0)  # rune count
+
+    # [prev halo | main | next halo] as one flat block; index base of main
+    # is _VAL_HALO rows in.
+    Y = jnp.concatenate(
+        [prev_ref[...], main_ref[...], next_ref[...]], axis=0
+    ).astype(jnp.int32)
+    base = _VAL_HALO * 128
+
+    def at(off):  # byte stream shifted so row r aligns with main[r], off ∈ [-3, 3]
+        return _shifted(Y, base + off, interpret)[:_VAL_BLOCK]
+
+    b = at(0)
+    p1, p2, p3 = at(-1), at(-2), at(-3)
+
+    def cont(x):
+        return (x & 0xC0) == 0x80
+
+    def l2(x):
+        return (x >= 0xC2) & (x <= 0xDF)
+
+    def l3(x):
+        return (x & 0xF0) == 0xE0
+
+    def l4(x):
+        return (x >= 0xF0) & (x <= 0xF4)
+
+    # the caller zero-fills before/after the buffer, so out-of-buffer context
+    # reads as ASCII — exactly the "no preceding lead" neutral element
+    pos = (jax.lax.broadcasted_iota(jnp.int32, b.shape, 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+           + i * (_VAL_BLOCK * 128))
+    n = n_ref[0, 0]
+    inside = pos < n
+
+    bad_lead = (b >= 0x80) & ~cont(b) & ~l2(b) & ~l3(b) & ~l4(b)
+    must_cont = (l2(p1) | l3(p1) | l4(p1)) | (l3(p2) | l4(p2)) | l4(p3)
+    # structure checked one position past the end too (truncated trailing
+    # lead): the zero padding is not a continuation
+    struct_bad = (cont(b) != must_cont) & (pos < n + 3)
+    bad_rng = cont(b) & (((p1 == 0xE0) & (b < 0xA0))
+                         | ((p1 == 0xED) & (b >= 0xA0))
+                         | ((p1 == 0xF0) & (b < 0x90))
+                         | ((p1 == 0xF4) & (b >= 0x90)))
+    viol = (bad_lead | bad_rng) & inside | struct_bad
+    out_ref[0, 0] = out_ref[0, 0] + jnp.sum(viol.astype(jnp.int32))
+    out_ref[0, 1] = out_ref[0, 1] + jnp.sum(
+        (~cont(b) & inside).astype(jnp.int32))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_val(n_blocks: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_val_kernel, interpret)
+    k = _VAL_BLOCK // _VAL_HALO
+
+    in_specs = [
+        # previous block's last halo rows (block 0 reads rows 0 — junk that
+        # the zero padding region makes neutral... see wrapper: a leading
+        # zero-row pad block is prepended so block 0's prev halo is zeros)
+        pl.BlockSpec((_VAL_HALO, 128), lambda i: (i * k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_VAL_BLOCK, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_VAL_HALO, 128), lambda i: (i * k + k + 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    def wrapped(padded, main_view, n_arr):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            interpret=interpret,
+        )(padded, main_view, padded, n_arr)
+
+    return jax.jit(wrapped)
 
 
 def utf8_valid(data) -> bool:
