@@ -197,7 +197,10 @@ def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
     """Hash one bucket: ``data2d`` is ``(16*n_blocks, n) int32`` zero-padded
     token bytes (tokens across lanes), ``lengths (n,)``. Returns u64[n]."""
     n = data2d.shape[1]
-    total = max(-(-n // LANES_BLOCK), 1) * LANES_BLOCK
+    # dyadic lane total: the lane count is a kernel compile key, so a dyadic
+    # ladder bounds the compiled specializations across collection sizes
+    total = max(1 << max(n - 1, 1).bit_length(), LANES_BLOCK)
+    total = -(-total // LANES_BLOCK) * LANES_BLOCK
     if total != n:
         pad = np.zeros((data2d.shape[0], total - n), dtype=np.int32)
         data2d = np.concatenate([data2d, pad], axis=1)
