@@ -121,9 +121,14 @@ class Str:
         from ..ops.find_pallas import BLOCK_ROWS, LANES
 
         if self._device_2d is None:
+            from ..ops.tape import ladder
+
             n = len(self)
             block = BLOCK_ROWS * LANES
-            padded = max(-(-n // block), 1) * block
+            # ladder on the block count: the mirror's row count is a compile
+            # key for every streaming kernel, so arbitrary buffer sizes must
+            # map to a bounded set of padded shapes (waste <= 12.5%)
+            padded = ladder(max(-(-n // block), 1)) * block
             buf = np.zeros(padded, dtype=np.uint8)
             buf[:n] = self._buf
             self._device_2d = jnp.asarray(buf.reshape(-1, LANES))

@@ -29,6 +29,18 @@ def round_up(x: int, multiple: int) -> int:
     return -(-x // multiple) * multiple
 
 
+def ladder(n: int, mantissa_bits: int = 3) -> int:
+    """Smallest value >= n of the form m * 2^e with m < 2^(mantissa_bits+1)
+    — a coarse dyadic ladder (waste <= 2^-mantissa_bits) that bounds the
+    number of distinct padded shapes (and therefore kernel compiles) to
+    O(2^mantissa_bits * log n) across arbitrarily-sized inputs."""
+    n = max(int(n), 1)
+    if n < (1 << (mantissa_bits + 1)):
+        return n
+    e = n.bit_length() - 1 - mantissa_bits
+    return -(-n >> e) << e
+
+
 def _as_bytes(item) -> bytes:
     if isinstance(item, bytes):
         return item
