@@ -322,6 +322,12 @@ def myers_pallas(
     rows, n_queries = q_t.shape
     assert rows % 32 == 0
     words = rows // 32
+    # The folded-PEQ build materializes (4·words, rows) + (rows, 256)
+    # matrices in VMEM — past ~32 words that overflows the 16 MB scoped
+    # budget (caught by the on-chip sweep at words=128), and the one-hot
+    # win only matters at the short-string hot shapes anyway.
+    if words > 32:
+        alphabet = None
     cand_len, n_cands = cands_t.shape
     if lane_block is None:
         lane_block = pick_myers_lane_block(words, cand_len)
