@@ -211,6 +211,74 @@ class Str:
             return _find_ops.count(bytes(self), nd, allowoverlap=True)
         return bytes(self).count(nd)
 
+    def contains(self, needle) -> bool:
+        """Binding alias of ``in`` (reference ``Str.contains``)."""
+        return self.find(needle) >= 0
+
+    def equal(self, other) -> bool:
+        """Binding alias of ``==`` (``sz_equal``)."""
+        return self == other
+
+    def decode(self, encoding: str = "utf-8", errors: str = "strict") -> str:
+        return bytes(self).decode(encoding, errors)
+
+    def count_byteset(self, charset) -> int:
+        """Occurrences of ANY byte of the set (binding ``Str.count_byteset``)."""
+        if self._use_device():
+            from ..ops.find import byteset_mask
+            from ..ops.find_pallas import search_positions
+
+            ws = byteset_mask(_needle_bytes(charset))
+            return int(search_positions(self._device(), len(self), "count",
+                                        byteset_words=ws))
+        lut = np.zeros(256, dtype=bool)
+        for bb in _needle_bytes(charset):
+            lut[bb] = True
+        return int(lut[self._buf].sum())
+
+    # -- strip family (zero-copy views) --------------------------------------
+
+    _WHITESPACE = b" \t\n\r\x0b\x0c"
+
+    def _strip_bounds(self, charset, left: bool, right: bool):
+        chars = _needle_bytes(charset) if charset is not None else self._WHITESPACE
+        lut = np.zeros(256, dtype=bool)
+        for bb in chars:
+            lut[bb] = True
+        keep = np.nonzero(~lut[self._buf])[0]
+        if keep.size == 0:
+            return 0, 0
+        lo = int(keep[0]) if left else 0
+        hi = int(keep[-1]) + 1 if right else len(self)
+        return lo, hi
+
+    def lstrip(self, charset=None) -> "Str":
+        lo, hi = self._strip_bounds(charset, True, False)
+        return Str(self._buf[lo:hi])
+
+    def rstrip(self, charset=None) -> "Str":
+        lo, hi = self._strip_bounds(charset, False, True)
+        return Str(self._buf[lo:hi])
+
+    def strip(self, charset=None) -> "Str":
+        lo, hi = self._strip_bounds(charset, True, True)
+        return Str(self._buf[lo:hi])
+
+    def offset_within(self, larger: "Str") -> int:
+        """Byte offset of this zero-copy view inside ``larger`` (pointer
+        arithmetic, like the reference — no search)."""
+        lb = larger._buf if isinstance(larger, Str) else _to_bytes_like(larger)
+        my_ptr = self._buf.__array_interface__["data"][0]
+        their_ptr = lb.__array_interface__["data"][0]
+        off = my_ptr - their_ptr
+        if off < 0 or off + len(self) > lb.shape[0]:
+            raise ValueError("not a view into the given string")
+        return int(off)
+
+    def write_to(self, filename: str) -> None:
+        with open(filename, "wb") as f:
+            f.write(bytes(self))
+
     def startswith(self, prefix) -> bool:
         return bytes(self).startswith(_needle_bytes(prefix))
 
@@ -299,6 +367,32 @@ class Str:
             start = int(h) + 1
         bounds.append((start, len(self)))
         return Strs._from_views(self, bounds)
+
+    def rsplit_byteset(self, charset, maxsplit: int = -1) -> "Strs":
+        """Like ``split_byteset`` but the maxsplit budget spends from the
+        right (binding ``Str.rsplit_byteset``)."""
+        lut = np.zeros(256, dtype=bool)
+        for bb in _needle_bytes(charset):
+            lut[bb] = True
+        hits = np.nonzero(lut[self._buf])[0]
+        if maxsplit >= 0:
+            hits = hits[max(len(hits) - maxsplit, 0):] if maxsplit else hits[:0]
+        bounds = []
+        start = 0
+        for h in hits:
+            bounds.append((start, int(h)))
+            start = int(h) + 1
+        bounds.append((start, len(self)))
+        return Strs._from_views(self, bounds)
+
+    def split_byteset_iter(self, charset):
+        """Lazy byteset split (binding ``Str.split_byteset_iter``)."""
+        for part in self.split_byteset(charset):
+            yield part
+
+    def rsplit_byteset_iter(self, charset):
+        for part in reversed(list(self.rsplit_byteset(charset))):
+            yield part
 
     def splitlines(self, keeplinebreaks: bool = False) -> "Strs":
         data = bytes(self)
@@ -473,6 +567,75 @@ class Str:
                 return dev
         return utf8_uncased_find(bytes(self), nd)
 
+    def utf8_codepoints(self):
+        """Iterator of code points, U+FFFD for ill-formed input (binding
+        ``utf8_codepoints``)."""
+        from ..ops.utf8 import utf8_decode
+
+        return iter(int(r) for r in utf8_decode(bytes(self)))
+
+    def _utf8_token_views(self, kind: str, split: bool) -> "Strs":
+        from ..ops import utf8 as U
+
+        bounds_fn = {"whitespaces": U.utf8_whitespaces,
+                     "newlines": U.utf8_newlines,
+                     "delimiters": U.utf8_delimiters}[kind]
+        marks = bounds_fn(bytes(self))  # [(off, len), ...] token marks
+        if not split:
+            return Strs._from_views(self, [(o, o + l) for o, l in marks])
+        bounds, pos = [], 0
+        for o, l in marks:
+            bounds.append((pos, o))
+            pos = o + l
+        bounds.append((pos, len(self)))
+        return Strs._from_views(self, bounds)
+
+    def utf8_split_whitespaces(self) -> "Strs":
+        """Split between Unicode whitespace runs (binding
+        ``utf8_split_whitespaces``)."""
+        return self._utf8_token_views("whitespaces", split=True)
+
+    def utf8_split_newlines(self) -> "Strs":
+        return self._utf8_token_views("newlines", split=True)
+
+    def utf8_split_delimiters(self) -> "Strs":
+        return self._utf8_token_views("delimiters", split=True)
+
+    def utf8_uncased_fold(self) -> "Str":
+        """Binding name for ``utf8_fold``."""
+        return self.utf8_fold()
+
+    def utf8_uncased_search(self, needle, start_rune: int = 0):
+        """Binding name for ``utf8_uncased_find``."""
+        from ..ops.utf8 import utf8_uncased_find
+
+        if start_rune:
+            return utf8_uncased_find(bytes(self), _needle_bytes(needle),
+                                     start_rune)
+        return self.utf8_uncased_find(needle)
+
+    def utf8_uncased_matches(self, needle, include_overlapping: bool = False):
+        """Iterate all uncased matches as (byte_offset, byte_len) — matched
+        spans may differ in length from the needle (folding expansions,
+        binding ``utf8_uncased_matches``)."""
+        from ..ops.utf8 import utf8_uncased_find
+
+        buf = bytes(self)
+        nd = _needle_bytes(needle)
+        pos = 0
+        while pos <= len(buf):
+            off, ln = utf8_uncased_find(buf[pos:], nd)
+            if off < 0:
+                return
+            yield (pos + off, ln)
+            step = 1 if include_overlapping else max(ln, 1)
+            # advance past the match start (overlapping) or the whole match
+            nxt = pos + off + step
+            # don't restart mid-rune
+            while nxt < len(buf) and (buf[nxt] & 0xC0) == 0x80:
+                nxt += 1
+            pos = nxt
+
     def _device_folded_2d(self):
         """Cached ASCII-case-folded device mirror (256-LUT transform)."""
         if self._device_folded is None:
@@ -603,6 +766,25 @@ class Strs:
 
             return hash_batch_device(items, seed)
         return _hash_ops.hash_batch(items, seed)
+
+    def to_pylist(self) -> list[bytes]:
+        """Binding alias of ``to_list``."""
+        return self.to_list()
+
+    @property
+    def tape(self) -> Tape:
+        """The underlying Arrow-style (data, offsets) container (the
+        reference exposes tape_address/tape_nbytes; here the object itself)."""
+        return self.to_tape()
+
+    def sorted(self, reverse: bool = False) -> "Strs":
+        """A NEW sorted collection (binding ``Strs.sorted``; ``sort`` mutates
+        order in place semantics-wise by returning the permuted view)."""
+        return self._take(self.order(reverse=reverse))
+
+    def shuffled(self, seed: int | None = None) -> "Strs":
+        """Binding alias of ``shuffle`` (returns a new permuted view)."""
+        return self.shuffle(seed)
 
     def sample(self, count: int, seed: int | None = None) -> "Strs":
         rng = np.random.default_rng(seed)

@@ -159,3 +159,55 @@ def test_module_binding_surface():
         assert sz.find(b"xxhayxx", b"hay") == 2
     finally:
         sz.reset_capabilities()
+
+
+def test_binding_surface_extras():
+    """The remaining reference binding methods: strips, byteset counting and
+    splitting, pointer offsets, codepoints, uncased matches, Strs sugar."""
+    import stringzilla_tpu as sz
+
+    s = sz.Str(b"  hello world  ")
+    assert bytes(s.strip()) == b"hello world"
+    assert bytes(s.lstrip()) == b"hello world  "
+    assert bytes(s.rstrip()) == b"  hello world"
+    assert bytes(sz.Str(b"xxabcxx").strip(b"x")) == b"abc"
+    assert bytes(sz.Str(b"xxx").strip(b"x")) == b""
+
+    assert sz.Str(b"a,b;c").count_byteset(b",;") == 2
+    assert [bytes(p) for p in sz.Str(b"a,b;c").rsplit_byteset(b",;")] == \
+        [b"a", b"b", b"c"]
+    assert [bytes(p) for p in sz.Str(b"a,b;c").rsplit_byteset(b",;", 1)] == \
+        [b"a,b", b"c"]
+    assert [bytes(p) for p in sz.Str(b"a,b").split_byteset_iter(b",")] == \
+        [b"a", b"b"]
+
+    s2 = sz.Str(b"hello")
+    assert s2.contains(b"ell") and s2.equal(b"hello")
+    assert s2.decode() == "hello"
+
+    parent = sz.Str(b"0123456789")
+    view = parent[3:7]
+    assert view.offset_within(parent) == 3
+
+    assert list(sz.Str("AB".encode()).utf8_codepoints()) == [65, 66]
+    ws = sz.Str("a b c".encode()).utf8_split_whitespaces()
+    assert [bytes(p) for p in ws] == [b"a", b"b", "c".encode()]
+
+    hay = sz.Str("The THE the".encode())
+    matches = list(hay.utf8_uncased_matches("the"))
+    assert matches == [(0, 3), (4, 3), (8, 3)]
+    assert hay.utf8_uncased_search("THE") == (0, 3)
+    assert bytes(sz.Str("Straße".encode()).utf8_uncased_fold()) == \
+        "straße".encode().replace("ß".encode(), b"ss")
+
+    ss = sz.Strs([b"b", b"a", b"c"])
+    assert ss.to_pylist() == [b"b", b"a", b"c"]
+    assert ss.sorted().to_list() == [b"a", b"b", b"c"]
+    assert sorted(ss.shuffled(seed=1).to_list()) == [b"a", b"b", b"c"]
+    assert ss.tape.to_list() == [b"b", b"a", b"c"]
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "out.bin")
+        s2.write_to(p)
+        assert open(p, "rb").read() == b"hello"
