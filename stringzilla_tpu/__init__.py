@@ -121,6 +121,26 @@ def utf8_valid(data) -> bool:
     from .ops.utf8_device import utf8_valid as _uv
 
     return _uv(data)
+
+
+def _via_str(name):
+    def fn(text, *args, **kwargs):
+        s = text if isinstance(text, Str) else Str(text)
+        return getattr(s, name)(*args, **kwargs)
+
+    fn.__name__ = name
+    fn.__doc__ = f"Module-level form of ``Str.{name}`` (reference binding)."
+    return fn
+
+
+count_byteset = _via_str("count_byteset")
+utf8_codepoints = _via_str("utf8_codepoints")
+utf8_split_whitespaces = _via_str("utf8_split_whitespaces")
+utf8_split_newlines = _via_str("utf8_split_newlines")
+utf8_split_delimiters = _via_str("utf8_split_delimiters")
+utf8_uncased_fold = _via_str("utf8_uncased_fold")
+utf8_uncased_search = _via_str("utf8_uncased_search")
+utf8_uncased_matches = _via_str("utf8_uncased_matches")
 utf8_count = _u.utf8_count
 utf8_decode = _u.utf8_decode
 utf8_seek = _u.utf8_seek
@@ -180,6 +200,14 @@ __all__ = [
     "utf8_is_normalized",
     "utf8_find_cased",
     "utf8_valid",
+    "count_byteset",
+    "utf8_codepoints",
+    "utf8_split_whitespaces",
+    "utf8_split_newlines",
+    "utf8_split_delimiters",
+    "utf8_uncased_fold",
+    "utf8_uncased_search",
+    "utf8_uncased_matches",
     "utf8_count",
     "utf8_decode",
     "utf8_seek",
