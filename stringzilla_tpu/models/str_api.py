@@ -64,12 +64,13 @@ class Str:
     """Zero-copy byte string with device-accelerated search (reference type
     ``Str``, ``python/stringzilla.c``; C++ ``sz::string_view``)."""
 
-    __slots__ = ("_buf", "_device_2d", "_device_folded")
+    __slots__ = ("_buf", "_device_2d", "_device_folded", "_bytes_cache")
 
     def __init__(self, data=b""):
         self._buf = _to_bytes_like(data)
         self._device_2d = None
         self._device_folded = None
+        self._bytes_cache = None
 
     # -- container protocol -------------------------------------------------
 
@@ -411,8 +412,15 @@ class Str:
     # / ``find_splits_view`` / ``rfind_splits_view``
     # (``include/stringzilla/stringzilla.hpp:543-875``) and the Python
     # binding's ``split_iter`` / ``rsplit_iter`` (``python/stringzilla.c``).
-    # Each ``next()`` runs one accelerated ``find``/``rfind`` — no upfront
-    # materialization of the match list.
+    # The incremental scans run on the HOST over one cached bytes view: a
+    # lazy iterator makes O(matches) tiny dependent scans, and paying a
+    # device dispatch per ``next()`` is pathological (one round-trip per
+    # line when iterating a big log). One-shot find/rfind still dispatch.
+
+    def _host_bytes(self) -> bytes:
+        if self._bytes_cache is None:
+            self._bytes_cache = bytes(self)
+        return self._bytes_cache
 
     def find_all(self, needle, allowoverlap: bool = False):
         """Lazy iterator of match offsets, left to right
@@ -420,9 +428,10 @@ class Str:
         nd = _needle_bytes(needle)
         if not nd:
             return
+        data = self._host_bytes()
         pos = 0
         while True:
-            i = self.find(nd, pos)
+            i = data.find(nd, pos)
             if i < 0:
                 return
             yield i
@@ -434,9 +443,10 @@ class Str:
         nd = _needle_bytes(needle)
         if not nd:
             return
+        data = self._host_bytes()
         end = len(self)
         while end >= len(nd):
-            i = self.rfind(nd, 0, end)
+            i = data.rfind(nd, 0, end)
             if i < 0:
                 return
             yield i
@@ -450,9 +460,10 @@ class Str:
         if not sep:
             yield self[:]
             return
+        data = self._host_bytes()
         start = 0
         while True:
-            i = self.find(sep, start)
+            i = data.find(sep, start)
             if i < 0:
                 yield self[start:]
                 return
@@ -468,10 +479,11 @@ class Str:
         if not sep:
             yield self[:]
             return
+        data = self._host_bytes()
         end_body = len(self)  # body end (excl.) of the upcoming part
         extra = 0  # trailing separator bytes (0 only for the rightmost part)
         while True:
-            i = self.rfind(sep, 0, end_body)
+            i = data.rfind(sep, 0, end_body)
             if i < 0:
                 yield self[0 : end_body + extra]
                 return
@@ -824,6 +836,7 @@ class File(Str):
             self._buf = np.zeros(0, dtype=np.uint8)
             self._device_2d = None
             self._device_folded = None
+            self._bytes_cache = None
             self._mmap.close()
             self._file.close()
             self._mmap = None
