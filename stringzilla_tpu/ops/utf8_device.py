@@ -68,15 +68,14 @@ _VAL_HALO = 32  # u8 min tile; covers the ±3-byte context
 def _val_kernel(interpret: bool, refs):
     from jax.experimental import pallas as pl
 
-    prev_ref, main_ref, next_ref, n_ref, out_ref = refs
+    prev_ref, main_ref, next_ref, n_ref, out_ref, acc_ref = refs
     from .find_pallas import _shifted
 
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        out_ref[0, 0] = jnp.int32(0)  # violations
-        out_ref[0, 1] = jnp.int32(0)  # rune count
+        acc_ref[...] = jnp.zeros((2, 128), jnp.int32)
 
     # [prev halo | main | next halo] as one flat block; index base of main
     # is _VAL_HALO rows in.
@@ -121,9 +120,17 @@ def _val_kernel(interpret: bool, refs):
                          | ((p1 == 0xF0) & (b < 0x90))
                          | ((p1 == 0xF4) & (b >= 0x90)))
     viol = (bad_lead | bad_rng) & inside | struct_bad
-    out_ref[0, 0] = out_ref[0, 0] + jnp.sum(viol.astype(jnp.int32))
-    out_ref[0, 1] = out_ref[0, 1] + jnp.sum(
-        (~cont(b) & inside).astype(jnp.int32))
+    # vector accumulators in VMEM scratch; one scalar reduction at the END
+    # of the sequential grid (a full (rows,128)→scalar tree per block was
+    # the bottleneck at 1024-row blocks)
+    v = jnp.sum(viol.astype(jnp.int32), axis=0).reshape(1, 128)
+    c = jnp.sum((~cont(b) & inside).astype(jnp.int32), axis=0).reshape(1, 128)
+    acc_ref[...] = acc_ref[...] + jnp.concatenate([v, c], axis=0)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[0, 0] = jnp.sum(acc_ref[0])
+        out_ref[0, 1] = jnp.sum(acc_ref[1])
 
 
 @functools.lru_cache(maxsize=16)
@@ -155,6 +162,7 @@ def _build_val(n_blocks: int, interpret: bool):
             out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((2, 128), jnp.int32)],
             interpret=interpret,
         )(padded, main_view, padded, n_arr)
 
