@@ -84,23 +84,29 @@ def _val_kernel(interpret: bool, refs):
     ).astype(jnp.int32)
     base = _VAL_HALO * 128
 
-    def at(off):  # byte stream shifted so row r aligns with main[r], off ∈ [-3, 3]
-        return _shifted(Y, base + off, interpret)[:_VAL_BLOCK]
+    # Classify ONCE over the whole (block+halo) stream into bit flags, then
+    # shift the single class array — cheaper than shifting raw bytes three
+    # times and re-classifying every copy.
+    contY = (Y & 0xC0) == 0x80
+    l2Y = (Y >= 0xC2) & (Y <= 0xDF)
+    l3Y = (Y & 0xF0) == 0xE0
+    l4Y = (Y >= 0xF0) & (Y <= 0xF4)
+    CLS = (contY.astype(jnp.int32)
+           | (l2Y.astype(jnp.int32) << 1)
+           | (l3Y.astype(jnp.int32) << 2)
+           | (l4Y.astype(jnp.int32) << 3)
+           | ((Y == 0xE0).astype(jnp.int32) << 4)
+           | ((Y == 0xED).astype(jnp.int32) << 5)
+           | ((Y == 0xF0).astype(jnp.int32) << 6)
+           | ((Y == 0xF4).astype(jnp.int32) << 7)
+           | ((Y >= 0x80).astype(jnp.int32) << 8))
 
-    b = at(0)
-    p1, p2, p3 = at(-1), at(-2), at(-3)
+    def at(X, off):  # stream shifted so row r aligns with main[r], off ∈ [-3, 3]
+        return _shifted(X, base + off, interpret)[:_VAL_BLOCK]
 
-    def cont(x):
-        return (x & 0xC0) == 0x80
-
-    def l2(x):
-        return (x >= 0xC2) & (x <= 0xDF)
-
-    def l3(x):
-        return (x & 0xF0) == 0xE0
-
-    def l4(x):
-        return (x >= 0xF0) & (x <= 0xF4)
+    b = at(Y, 0)
+    c0 = at(CLS, 0)
+    c1, c2, c3 = at(CLS, -1), at(CLS, -2), at(CLS, -3)
 
     # the caller zero-fills before/after the buffer, so out-of-buffer context
     # reads as ASCII — exactly the "no preceding lead" neutral element
@@ -110,21 +116,23 @@ def _val_kernel(interpret: bool, refs):
     n = n_ref[0, 0]
     inside = pos < n
 
-    bad_lead = (b >= 0x80) & ~cont(b) & ~l2(b) & ~l3(b) & ~l4(b)
-    must_cont = (l2(p1) | l3(p1) | l4(p1)) | (l3(p2) | l4(p2)) | l4(p3)
+    cont_b = (c0 & 1) == 1
+    bad_lead = ((c0 >> 8) & 1 & ~(c0 | (c0 >> 1) | (c0 >> 2) | (c0 >> 3))) == 1
+    must_cont = (((c1 >> 1) | (c1 >> 2) | (c1 >> 3)
+                  | (c2 >> 2) | (c2 >> 3) | (c3 >> 3)) & 1) == 1
     # structure checked one position past the end too (truncated trailing
     # lead): the zero padding is not a continuation
-    struct_bad = (cont(b) != must_cont) & (pos < n + 3)
-    bad_rng = cont(b) & (((p1 == 0xE0) & (b < 0xA0))
-                         | ((p1 == 0xED) & (b >= 0xA0))
-                         | ((p1 == 0xF0) & (b < 0x90))
-                         | ((p1 == 0xF4) & (b >= 0x90)))
+    struct_bad = (cont_b != must_cont) & (pos < n + 3)
+    bad_rng = cont_b & (((((c1 >> 4) & 1) == 1) & (b < 0xA0))
+                        | ((((c1 >> 5) & 1) == 1) & (b >= 0xA0))
+                        | ((((c1 >> 6) & 1) == 1) & (b < 0x90))
+                        | ((((c1 >> 7) & 1) == 1) & (b >= 0x90)))
     viol = (bad_lead | bad_rng) & inside | struct_bad
     # vector accumulators in VMEM scratch; one scalar reduction at the END
     # of the sequential grid (a full (rows,128)→scalar tree per block was
     # the bottleneck at 1024-row blocks)
     v = jnp.sum(viol.astype(jnp.int32), axis=0).reshape(1, 128)
-    c = jnp.sum((~cont(b) & inside).astype(jnp.int32), axis=0).reshape(1, 128)
+    c = jnp.sum((~cont_b & inside).astype(jnp.int32), axis=0).reshape(1, 128)
     acc_ref[...] = acc_ref[...] + jnp.concatenate([v, c], axis=0)
 
     @pl.when(i == pl.num_programs(0) - 1)
