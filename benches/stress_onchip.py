@@ -33,7 +33,7 @@ while time.time() < t_end:
     trial += 1
     seed = int(rng0.integers(0, 1 << 30))
     rng = np.random.default_rng(seed)
-    kind = trial % 4
+    kind = trial % 8
     try:
         if kind == 0:  # Levenshtein (byte + utf8)
             alpha = int(rng.integers(2, 26))
@@ -65,6 +65,25 @@ while time.time() < t_end:
             for i in rng.choice(len(docs), min(3, len(docs)), replace=False):
                 eh, ec = fingerprint_oracle(docs[int(i)], params)
                 assert (h[int(i)] == eh).all() and (c[int(i)] == ec).all(), ("FP", seed, int(i))
+        elif kind == 4:  # argsort vs sorted()
+            words = [bytes(rng.integers(97, 123, int(rng.integers(0, 14))).astype(np.uint8))
+                     for _ in range(int(rng.integers(1, 4000)))]
+            order = sz.argsort(words)
+            assert [words[i] for i in order] == sorted(words), ("SORT", seed)
+        elif kind == 5:  # SHA-256 batch vs hashlib
+            import hashlib
+            msgs = [bytes(rng.integers(0, 256, int(l)).astype(np.uint8))
+                    for l in rng.integers(0, 200, int(rng.integers(1, 300)))]
+            dig = sz.ops.sha256.sha256_batch(msgs)
+            for i in rng.choice(len(msgs), min(5, len(msgs)), replace=False):
+                assert bytes(dig[int(i)]) == hashlib.sha256(msgs[int(i)]).digest(), ("SHA", seed, int(i))
+        elif kind == 6:  # wavefront long-pair vs oracle
+            m = int(rng.integers(200, 2000)); k = int(rng.integers(200, 2000))
+            a = rng.integers(97, 102, m).astype(np.uint8)
+            b = rng.integers(97, 102, k).astype(np.uint8)
+            from stringzilla_tpu.ops.wavefront_pallas import wavefront_score
+            got = wavefront_score(a, b)
+            assert got == levenshtein(bytes(a), bytes(b)), ("WF", seed)
         else:  # big-buffer find/count/hash
             n = int(rng.integers(1 << 20, 1 << 23))
             hay = rng.integers(97, 101, n).astype(np.uint8)
