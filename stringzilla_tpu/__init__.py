@@ -54,8 +54,9 @@ def rfind(haystack, needle) -> int:
     return s.rfind(needle)
 
 
-def count(haystack, needle, allowoverlap: bool = True) -> int:
-    """Occurrence count (module default: overlapping, like ``ops.find``)."""
+def count(haystack, needle, allowoverlap: bool = False) -> int:
+    """Occurrence count (non-overlapping by default, matching ``Str.count``
+    and the reference binding's ``sz.count``)."""
     s = haystack if isinstance(haystack, Str) else Str(haystack)
     return s.count(needle, allowoverlap=allowoverlap)
 

@@ -390,6 +390,9 @@ static inline int64_t tc_fold_one(uint32_t r, const uint32_t* fold1,
         int64_t mid = (lo + hi) >> 1;
         if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
     }
+    // Caller-supplied tables may disagree with fold1's multi-fold sentinel;
+    // treat a missing key as identity fold instead of reading past moffs.
+    if (lo >= mcount || mkeys[lo] != r) { out[0] = r; return 1; }
     int64_t o = 0;
     for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v) out[o++] = mvals[v];
     return o;

@@ -251,6 +251,40 @@ def _dispatch(data, form: str):
     return buf, out
 
 
+def _renorm_island(raw: bytes, form: str) -> bytes:
+    """Re-encode a denormalized island, keeping invalid-UTF-8 byte runs
+    verbatim: only maximal *valid* rune spans are normalized and re-encoded,
+    so normalization never rewrites bytes it did not need to touch (clean
+    invalid islands already pass through byte-identical)."""
+    from .segment import decode_runes
+
+    runes, offs = decode_runes(raw)
+    runes = np.asarray(runes, dtype=np.int64)
+    offs = np.asarray(offs, dtype=np.int64)
+    # A decoded U+FFFD is a *source* replacement iff its source bytes are not
+    # the literal EF BF BD encoding.
+    bad = np.zeros(len(runes), dtype=bool)
+    for j in np.nonzero(runes == 0xFFFD)[0]:
+        if raw[offs[j]:offs[j + 1]] != b"\xef\xbf\xbd":
+            bad[j] = True
+    if not bad.any():
+        return _encode(normalize_runes(runes, form))
+    out, j, n = [], 0, len(runes)
+    while j < n:
+        if bad[j]:
+            k = j
+            while k < n and bad[k]:
+                k += 1
+            out.append(raw[offs[j]:offs[k]])
+        else:
+            k = j
+            while k < n and not bad[k]:
+                k += 1
+            out.append(_encode(normalize_runes(runes[j:k], form)))
+        j = k
+    return b"".join(out)
+
+
 def utf8_norm(data, form: str = "NFC") -> bytes:
     """UAX-15 normalization of a UTF-8 buffer (``sz_utf8_norm``, reference
     ``utf8_norm.h:46``). The ASCII bulk is passed through untouched at
@@ -273,7 +307,7 @@ def utf8_norm(data, form: str = "NFC") -> bytes:
     dirty = []
     for w0, w1, runes in wins:
         if _first_divergent(runes, form) >= 0:
-            dirty.append((w0, w1, _encode(normalize_runes(runes, form))))
+            dirty.append((w0, w1, _renorm_island(bytes(buf[w0:w1]), form)))
     if not dirty:
         return bytes(buf)
     parts, pos = [], 0

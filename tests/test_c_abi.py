@@ -79,6 +79,8 @@ def test_header_covers_every_export():
     import re
 
     body = cpp.split('extern "C"', 1)[1]
-    for m in re.finditer(r"^(?:void|int|int64_t|uint64_t)\s+(tc_\w+)\s*\(",
+    # Any identifier-soup return type (incl. pointers): "unsigned long *" etc.
+    # `static` definitions are internal helpers, not ABI exports.
+    for m in re.finditer(r"^(?!static\b)[A-Za-z_][\w ]*?\s*\*?\s*\b(tc_\w+)\s*\(",
                          body, re.M):
         assert m.group(1) in hdr, f"{m.group(1)} missing from tapecraft.h"
