@@ -19,23 +19,9 @@ import jax.numpy as jnp
 from ..ops.fingerprints import DEFAULT_WINDOW_WIDTHS, derive_params
 from ..ops.fingerprints_pallas import fingerprint_all_groups, pack_limbs
 from ..ops.tape import Tape, round_up
-from ..utils import native
 from .device_scope import DeviceScope, default_device_scope
 
 __all__ = ["Fingerprints"]
-
-
-def _as_byte_arrays(items) -> list[np.ndarray]:
-    if isinstance(items, Tape):
-        items = items.to_list()
-    out = []
-    for s in items:
-        if isinstance(s, str):
-            s = s.encode("utf-8")
-        elif isinstance(s, (bytearray, memoryview)):
-            s = bytes(s)
-        out.append(np.frombuffer(s, dtype=np.uint8))
-    return out
 
 
 def _dyadic(n: int, minimum: int = 8) -> int:
@@ -96,21 +82,24 @@ class Fingerprints:
                  out=None) -> tuple[np.ndarray, np.ndarray]:
         scope = device or default_device_scope()
         ndev = scope.device_count
-        docs = _as_byte_arrays(texts)
-        n = len(docs)
+        from ..ops.pack_device import device_tape, pack_on_device
+
+        tape = texts if isinstance(texts, Tape) else Tape.from_strings(
+            [s.encode("utf-8") if isinstance(s, str) else bytes(s)
+             for s in texts])
+        dt = device_tape(tape)
+        n = len(dt)
         min_hashes = np.full((n, self.ndim), 0xFFFFFFFF, dtype=np.uint32)
         min_counts = np.zeros((n, self.ndim), dtype=np.uint32)
         if n == 0:
             return min_hashes, min_counts
 
-        lens = np.array([len(d) for d in docs], dtype=np.int64)
-        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        blob = (np.concatenate(docs) if lens.sum() else np.zeros(0, np.uint8))
+        lens = dt.lengths
         sizes = np.array([_dyadic(x) for x in lens], dtype=np.int64)
         # Enqueue every length bucket back-to-back, pull afterwards — the
         # device executes in order, so one sync covers all buckets instead
-        # of a host round-trip per bucket.
+        # of a host round-trip per bucket. The blob rides to HBM once; the
+        # ragged→dense pack is a device gather, not host work.
         pending = []
         for bucket in np.unique(sizes):
             idx = np.nonzero(sizes == bucket)[0]
@@ -120,12 +109,10 @@ class Fingerprints:
             # are sliced to the true count on device before the pull).
             count = round_up(1 << max(len(idx) - 1, 1).bit_length(),
                              128 * ndev)
-            docs_t = native.pack_u8(blob, offsets, idx, count, int(bucket),
-                                    transpose=True)
-            blens = np.zeros(count, dtype=np.int32)
-            blens[: len(idx)] = offsets[idx + 1] - offsets[idx]
-            docs_j = jnp.asarray(docs_t)
-            lens_j = jnp.asarray(blens.reshape(1, count))
+            offs_j, lens_vec = dt.bucket_arrays(idx, count)
+            docs_j = pack_on_device(dt.data, offs_j, lens_vec,
+                                    row_len=int(bucket), transpose=True)
+            lens_j = lens_vec.reshape(1, count)
             if ndev > 1:
                 from ..parallel.cross import sharded_fingerprints
 

@@ -98,32 +98,152 @@ def _as_tape(arrs) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
-def _pack_candidates(tape, offsets, idx, length, count_multiple):
-    # Dyadic candidate count: n_cands is a kernel compile key — a dyadic
-    # ladder bounds the compiled specializations across corpora sizes (the
-    # padded lanes report all-gap distances and are sliced away on export).
-    count = round_up(1 << max(len(idx) - 1, 1).bit_length(), count_multiple)
-    block, lens = native.pack_i32(tape, offsets, np.asarray(idx), count,
-                                  length, transpose=True, fill=0, runes=True)
-    return block, lens.reshape(1, count)
+class _HostFallback(Exception):
+    """Raised when a collection can't take the device-resident path
+    (pre-decoded ndarray inputs, or malformed UTF-8 needing the host's
+    maximal-subpart U+FFFD semantics)."""
 
 
-def _pack_queries_myers(tape, offsets, idx, rows):
-    """Myers layout: plain query chars (no +1 shift), padded with -1 (never
-    equal to any real char/rune). ``rows`` is a multiple of 32."""
-    count = round_up(max(len(idx), 1), _QUERY_PAD)
-    q_t, lens = native.pack_i32(tape, offsets, np.asarray(idx), count, rows,
-                                transpose=True, fill=-1, runes=True)
-    return q_t, lens.reshape(count, 1)
+class _HostCollection:
+    """Legacy host-packed collection: int arrays + native ragged→dense pack
+    (kept as the exact-semantics fallback and the ndarray-input path)."""
+
+    def __init__(self, items, utf8: bool, b2c):
+        arrs = _as_int_arrays(items, utf8)
+        if b2c is not None:
+            arrs = [b2c[a].astype(np.int32) for a in arrs]
+        self._arrs = arrs
+        self.lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        self._tape, self._offsets = _as_tape(arrs)
+
+    def __len__(self) -> int:
+        return len(self._arrs)
+
+    def array(self, i: int) -> np.ndarray:
+        return self._arrs[i]
+
+    def pack_candidates(self, idx, length, count_multiple):
+        count = round_up(1 << max(len(idx) - 1, 1).bit_length(),
+                         count_multiple)
+        block, lens = native.pack_i32(self._tape, self._offsets,
+                                      np.asarray(idx), count, length,
+                                      transpose=True, fill=0, runes=True)
+        return jnp.asarray(block), jnp.asarray(lens.reshape(1, count))
+
+    def pack_queries_myers(self, idx, rows):
+        """Myers layout: plain query chars (no +1 shift), padded with -1
+        (never equal to any real char/rune). ``rows`` is a multiple of 32."""
+        count = round_up(max(len(idx), 1), _QUERY_PAD)
+        q_t, lens = native.pack_i32(self._tape, self._offsets,
+                                    np.asarray(idx), count, rows,
+                                    transpose=True, fill=-1, runes=True)
+        return jnp.asarray(q_t), jnp.asarray(lens.reshape(count, 1))
+
+    def pack_queries(self, idx, rows):
+        count = round_up(max(len(idx), 1), _QUERY_PAD)
+        # +1-shifted layout: row 0 unused; pack into rows-1 then prepend.
+        body, lens = native.pack_i32(self._tape, self._offsets,
+                                     np.asarray(idx), count, rows - 1,
+                                     transpose=True, fill=0, runes=True)
+        q_ext_t = np.concatenate([np.zeros((1, count), np.int32), body],
+                                 axis=0)
+        return jnp.asarray(q_ext_t), jnp.asarray(lens.reshape(count, 1))
 
 
-def _pack_queries(tape, offsets, idx, rows):
-    count = round_up(max(len(idx), 1), _QUERY_PAD)
-    # +1-shifted layout: row 0 unused; pack into rows-1 then prepend.
-    body, lens = native.pack_i32(tape, offsets, np.asarray(idx), count,
-                                 rows - 1, transpose=True, fill=0, runes=True)
-    q_ext_t = np.concatenate([np.zeros((1, count), np.int32), body], axis=0)
-    return q_ext_t, lens.reshape(count, 1)
+class _DeviceCollection:
+    """Device-resident collection: the byte blob rides to HBM once; every
+    dense DP block is gathered (and for ``_utf8`` engines decoded to runes,
+    ``ops/utf8_pack_device.py``) on device — no host packing or decoding on
+    the hot path."""
+
+    def __init__(self, items, utf8: bool, b2c):
+        from ..ops.pack_device import device_tape
+
+        if isinstance(items, Tape):
+            tape = items
+        else:
+            conv = []
+            for s in items:
+                if isinstance(s, str):
+                    s = s.encode("utf-8")
+                elif isinstance(s, (bytearray, memoryview)):
+                    s = bytes(s)
+                if not isinstance(s, bytes):
+                    raise _HostFallback
+                conv.append(s)
+            tape = Tape.from_strings(conv)
+        self._tape = tape
+        self._dt = device_tape(tape)
+        self._utf8 = utf8
+        self._b2c = b2c
+        self._lut = (jnp.asarray(np.asarray(b2c).astype(np.int32))
+                     if b2c is not None else jnp.zeros(256, jnp.int32))
+        self._byte_lens = tape.lengths
+        if utf8:
+            from ..ops.utf8_pack_device import rune_count_validity
+
+            n = len(tape)
+            counts = np.zeros(n, dtype=np.int64)
+            for bl, bidx in _group_dyadic(self._byte_lens).items():
+                cnt, viol = rune_count_validity(self._dt, bidx, bl)
+                if viol.any():
+                    raise _HostFallback
+                counts[bidx] = cnt
+            self.lens = counts
+        else:
+            self.lens = self._byte_lens
+
+    def __len__(self) -> int:
+        return len(self._tape)
+
+    def array(self, i: int) -> np.ndarray:
+        """Host materialization for the per-pair wavefront tier."""
+        b = self._tape[i]
+        if self._utf8:
+            return np.array([ord(c) for c in b.decode("utf-8")],
+                            dtype=np.int32)
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+        if self._b2c is not None:
+            a = self._b2c[a].astype(np.int32)
+        return a
+
+    def _byte_bucket(self, idx) -> int:
+        return _dyadic(int(self._byte_lens[idx].max()) if len(idx) else 1)
+
+    def _pack(self, idx, lanes, rows, fill, shift):
+        from ..ops.pack_device import pack_chars
+        from ..ops.utf8_pack_device import decode_pack_device
+
+        if self._utf8:
+            return decode_pack_device(self._dt, idx, lanes,
+                                      self._byte_bucket(idx),
+                                      rows, fill=fill, transpose=True,
+                                      shift=shift)
+        offs, lens = self._dt.bucket_arrays(np.asarray(idx, np.int64), lanes)
+        return pack_chars(self._dt.data, offs, lens, self._lut,
+                          row_len=rows, transpose=True, fill=fill,
+                          shift=shift, use_lut=self._b2c is not None)
+
+    def _lens_vec(self, idx, count, shape):
+        lens = np.zeros(count, dtype=np.int32)
+        lens[: len(idx)] = self.lens[idx]
+        return jnp.asarray(lens.reshape(shape))
+
+    def pack_candidates(self, idx, length, count_multiple):
+        count = round_up(1 << max(len(idx) - 1, 1).bit_length(),
+                         count_multiple)
+        return (self._pack(idx, count, length, fill=0, shift=False),
+                self._lens_vec(idx, count, (1, count)))
+
+    def pack_queries_myers(self, idx, rows):
+        count = round_up(max(len(idx), 1), _QUERY_PAD)
+        return (self._pack(idx, count, rows, fill=-1, shift=False),
+                self._lens_vec(idx, count, (count, 1)))
+
+    def pack_queries(self, idx, rows):
+        count = round_up(max(len(idx), 1), _QUERY_PAD)
+        return (self._pack(idx, count, rows - 1, fill=0, shift=True),
+                self._lens_vec(idx, count, (count, 1)))
 
 
 class _CrossProductEngine:
@@ -153,7 +273,13 @@ class _CrossProductEngine:
             and self._cfg.costs.mismatch == 1
         )
 
-    def _score_long_pairs(self, q_arrs, c_arrs, q_long, c_long, out, scope):
+    def _collection(self, items):
+        try:
+            return _DeviceCollection(items, self._utf8, self._b2c)
+        except _HostFallback:
+            return _HostCollection(items, self._utf8, self._b2c)
+
+    def _score_long_pairs(self, qc, cc, q_long, c_long, out, scope):
         """Every pair touching a long string runs on the anti-diagonal
         wavefront kernel (one kernel launch per pair — the intra-pair tier).
         Pairs whose diagonal exceeds one chip's VMEM reach
@@ -176,10 +302,20 @@ class _CrossProductEngine:
             kw["table"] = cfg.costs.table_np()
         else:
             kw.update(match=cfg.costs.match, mismatch=cfg.costs.mismatch)
-        for i, q in enumerate(q_arrs):
-            for j, c in enumerate(c_arrs):
+        q_cache: dict = {}
+        c_cache: dict = {}
+        for i in range(len(qc)):
+            for j in range(len(cc)):
                 if not (q_long[i] or c_long[j]):
                     continue
+                q = q_cache.get(i)
+                if q is None:
+                    q = q_cache[i] = qc.array(i)
+                c = c_cache.get(j)
+                if c is None:
+                    c = (q_cache[j] if cc is qc and j in q_cache
+                         else cc.array(j))
+                    c_cache[j] = c
                 if (max(len(q) + 1, len(c)) > MAX_FLAT_CELLS
                         and scope.device_count > 1):
                     rkw = dict(kw)
@@ -200,13 +336,10 @@ class _CrossProductEngine:
     def __call__(self, queries, candidates=None, device: DeviceScope | None = None,
                  out: np.ndarray | None = None) -> np.ndarray:
         scope = device or default_device_scope()
-        q_arrs = _as_int_arrays(queries, self._utf8)
-        c_arrs = q_arrs if candidates is None else _as_int_arrays(candidates, self._utf8)
-        if self._b2c is not None:
-            q_arrs = [self._b2c[a].astype(np.int32) for a in q_arrs]
-            c_arrs = q_arrs if candidates is None else [self._b2c[a].astype(np.int32) for a in c_arrs]
+        qc = self._collection(queries)
+        cc = qc if candidates is None else self._collection(candidates)
 
-        nq, nc = len(q_arrs), len(c_arrs)
+        nq, nc = len(qc), len(cc)
         if out is None:
             out = np.zeros((nq, nc), dtype=self.result_dtype)
         elif out.shape != (nq, nc):
@@ -214,11 +347,8 @@ class _CrossProductEngine:
         if nq == 0 or nc == 0:
             return out
 
-        q_lens = np.array([len(a) for a in q_arrs])
-        c_lens = np.array([len(a) for a in c_arrs])
-        q_tape, q_offsets = _as_tape(q_arrs)
-        c_tape, c_offsets = ((q_tape, q_offsets) if candidates is None
-                             else _as_tape(c_arrs))
+        q_lens = qc.lens
+        c_lens = cc.lens
         ndev = scope.device_count
         use_myers = self._is_unit_cost and int(q_lens.max()) > 0
 
@@ -230,7 +360,7 @@ class _CrossProductEngine:
         c_long = c_lens > _LONG_THRESHOLD
         has_long = bool(q_long.any() or c_long.any())
         if has_long:
-            self._score_long_pairs(q_arrs, c_arrs, q_long, c_long, out, scope)
+            self._score_long_pairs(qc, cc, q_long, c_long, out, scope)
             if (~q_long).sum() == 0 or (~c_long).sum() == 0:
                 return out
 
@@ -246,8 +376,7 @@ class _CrossProductEngine:
                 rows_hint = _dyadic(int(q_lens.max())) + 8
                 lane_block = pick_lane_block(rows_hint, c_bucket)
             count_multiple = lane_block * ndev
-            block, lens = _pack_candidates(c_tape, c_offsets, c_idx, c_bucket, count_multiple)
-            block_j, lens_j = jnp.asarray(block), jnp.asarray(lens)
+            block_j, lens_j = cc.pack_candidates(c_idx, c_bucket, count_multiple)
             for q_bucket, q_idx in _group_dyadic(q_lens).items():
                 if has_long:
                     q_idx = q_idx[~q_long[q_idx]]
@@ -255,29 +384,29 @@ class _CrossProductEngine:
                         continue
                 if use_myers:
                     rows = round_up(q_bucket, 32)
-                    q_t, qlens = _pack_queries_myers(q_tape, q_offsets, q_idx, rows)
+                    q_t, qlens = qc.pack_queries_myers(q_idx, rows)
                     if ndev > 1:
                         res = sharded_myers(
-                            jnp.asarray(q_t), jnp.asarray(qlens), block_j,
+                            q_t, qlens, block_j,
                             lens_j, scope.mesh, lane_block=lane_block,
                             alphabet=None if self._utf8 else 256)
                     else:
                         res = myers_pallas(
-                            jnp.asarray(q_t), jnp.asarray(qlens), block_j,
+                            q_t, qlens, block_j,
                             lens_j, lane_block=lane_block,
                             alphabet=None if self._utf8 else 256)
                 else:
                     rows = round_up(q_bucket + 1, 8)
-                    q_ext_t, qlens = _pack_queries(q_tape, q_offsets, q_idx, rows)
+                    q_ext_t, qlens = qc.pack_queries(q_idx, rows)
                     if ndev > 1:
                         res = sharded_similarity(
-                            jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                            q_ext_t, qlens, block_j, lens_j,
                             self._cfg, scope.mesh, table=self._table,
                             lane_block=lane_block,
                         )
                     else:
                         res = similarity_pallas(
-                            jnp.asarray(q_ext_t), jnp.asarray(qlens), block_j, lens_j,
+                            q_ext_t, qlens, block_j, lens_j,
                             self._cfg, table=self._table, lane_block=lane_block,
                         )
                 # slice to true counts ON DEVICE — the dyadic lane padding

@@ -771,13 +771,15 @@ class Strs:
     def hashes(self, seed: int = 0) -> np.ndarray:
         """Per-string 64-bit StringZilla hashes, bit-identical to
         ``sz_hash``. Device-batched for large collections (the
-        ``bench/token.cpp`` workload); vectorized host AES otherwise."""
-        items = self.to_list()
-        if len(items) >= (1 << 14) and not platform.pallas_interpret():
-            from ..ops.hash_pallas import hash_batch_device
+        ``bench/token.cpp`` workload) — zero-copy: the parent buffer's
+        device mirror is gathered per string bounds, no host re-join;
+        vectorized host AES otherwise."""
+        if len(self) >= (1 << 14) and not platform.pallas_interpret():
+            from ..ops.hash_pallas import hash_bounds_device
 
-            return hash_batch_device(items, seed)
-        return _hash_ops.hash_batch(items, seed)
+            return hash_bounds_device(self._parent._buf, self._starts,
+                                      self._ends, seed)
+        return _hash_ops.hash_batch(self.to_list(), seed)
 
     def to_pylist(self) -> list[bytes]:
         """Binding alias of ``to_list``."""

@@ -641,6 +641,316 @@ void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
     }
 }
 
-int tc_version(void) { return 4; }
+// ---------------------------------------------------------------------------
+// UAX-29 sentence / UAX-14 line segmentation — the per-element automata that
+// the Python tier (ops/segment.py) keeps as its oracle. Class tables are
+// caller-supplied u8[0x110000] arrays generated at runtime from the stdlib
+// UCD (ops/ucd.py); class ids follow ucd.SB_VALUES / ucd.LB_VALUES order.
+// Reference analog: sz_utf8_sentences (utf8_sentences.h:37) and
+// sz_utf8_linebreaks (utf8_linebreaks.h:41).
+
+// SB_VALUES order (ops/ucd.py):
+enum {
+    SB_Other = 0, SB_CR, SB_LF, SB_Extend, SB_Sep, SB_Format, SB_Sp,
+    SB_Lower, SB_Upper, SB_OLetter, SB_Numeric, SB_ATerm, SB_SContinue,
+    SB_STerm, SB_Close
+};
+
+static inline bool sb_para(uint8_t c) {
+    return c == SB_Sep || c == SB_CR || c == SB_LF;
+}
+
+static inline bool sb_sig(uint8_t c) {
+    return c == SB_OLetter || c == SB_Upper || c == SB_Lower || c == SB_Sep ||
+           c == SB_CR || c == SB_LF || c == SB_ATerm || c == SB_STerm;
+}
+
+// Returns the number of sentence-break byte offsets written to out (≤ cap;
+// call with out==nullptr to count). Semantics identical to
+// ops/segment.py::sentence_breaks (SB1-SB11 on SB5-collapsed elements).
+// One streaming pass — no rune buffers; the SB8 lookahead ("first
+// significant class after here") is computed on demand and memoized, which
+// stays O(n) because rescans always start past the previous answer.
+int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
+                     int64_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    int64_t count = 0;
+    int term = 0;
+    bool seen_sp = false;
+    uint8_t pc = 255, prior = 255;  // element classes C[k-1], C[k-2]
+    uint8_t prev_raw = 255;         // raw class of the previous rune
+    int64_t sig_pos = -1;           // memoized lookahead: byte pos of the
+    uint8_t sig_cls = 255;          //   next significant rune + its class
+    bool first = true;
+    int64_t i = 0;
+    while (i < n) {
+        uint32_t r;
+        int64_t used;
+        uint8_t cc;
+        if (data[i] < 0x80) {
+            cc = sb[data[i]];
+            used = 1;
+        } else {
+            used = tc_decode_one(data, i, n, &r);
+            cc = sb[r];
+        }
+        // SB5 collapse: Extend/Format attach unless after sot/ParaSep
+        if ((cc == SB_Extend || cc == SB_Format) && !first &&
+            !sb_para(prev_raw)) {
+            prev_raw = cc;
+            i += used;
+            continue;
+        }
+        prev_raw = cc;
+        if (first) {
+            first = false;
+            pc = cc;
+            i += used;
+            continue;
+        }
+        // element transition pc -> cc at byte offset i
+        if (pc == SB_CR && cc == SB_LF) {  // SB3
+            term = 0;
+            seen_sp = false;
+        } else {
+            if (sb_para(pc)) {  // SB4
+                if (out && count < cap) out[count] = i;
+                ++count;
+                term = 0;
+                seen_sp = false;
+            } else if (term) {
+                bool handled = false;
+                if (cc == SB_Close && !seen_sp) {
+                    handled = true;  // SB9
+                } else if (cc == SB_Sp) {
+                    seen_sp = true;  // SB9/SB10
+                    handled = true;
+                } else if (sb_para(cc) || cc == SB_SContinue ||
+                           cc == SB_ATerm || cc == SB_STerm) {
+                    handled = true;  // SB9/SB10/SB8a
+                } else if (term == SB_ATerm && cc == SB_Lower) {
+                    handled = true;  // SB8 degenerate: cur IS the Lower
+                } else if (term == SB_ATerm && cc == SB_Upper && !seen_sp &&
+                           pc == SB_ATerm &&
+                           (prior == SB_Upper || prior == SB_Lower)) {
+                    handled = true;  // SB7
+                } else if (term == SB_ATerm && cc == SB_Numeric &&
+                           pc == SB_ATerm) {
+                    handled = true;  // SB6
+                } else if (term == SB_ATerm && !sb_sig(cc)) {
+                    // SB8: eventual Lower across a run of non-significant
+                    if (sig_pos < i + used) {  // memo stale — rescan
+                        int64_t j = i + used;
+                        sig_cls = 255;
+                        sig_pos = n;
+                        while (j < n) {
+                            uint32_t r2;
+                            int64_t u2;
+                            uint8_t c2;
+                            if (data[j] < 0x80) {
+                                c2 = sb[data[j]];
+                                u2 = 1;
+                            } else {
+                                u2 = tc_decode_one(data, j, n, &r2);
+                                c2 = sb[r2];
+                            }
+                            if (sb_sig(c2)) {
+                                sig_pos = j;
+                                sig_cls = c2;
+                                break;
+                            }
+                            j += u2;
+                        }
+                    }
+                    if (sig_cls == SB_Lower) handled = true;  // SB8
+                }
+                if (!handled) {  // SB11
+                    if (out && count < cap) out[count] = i;
+                    ++count;
+                    term = 0;
+                    seen_sp = false;
+                }
+            }
+            if (cc == SB_ATerm || cc == SB_STerm) {
+                term = cc;
+                seen_sp = false;
+            } else if (term && !(cc == SB_Close && !seen_sp) &&
+                       cc != SB_Sp && !sb_para(cc)) {
+                term = 0;
+                seen_sp = false;
+            }
+        }
+        prior = pc;
+        pc = cc;
+        i += used;
+    }
+    return count;
+}
+
+// LB_VALUES order (ops/ucd.py):
+enum {
+    LB_XX = 0, LB_BK, LB_CR, LB_LF, LB_CM, LB_NL, LB_SG, LB_WJ, LB_ZW,
+    LB_GL, LB_SP, LB_ZWJ, LB_B2, LB_BA, LB_BB, LB_HY, LB_CB, LB_CL, LB_CP,
+    LB_EX, LB_IN, LB_NS, LB_OP, LB_QU, LB_IS, LB_NU, LB_PO, LB_PR, LB_SY,
+    LB_AI, LB_AL, LB_CJ, LB_EB, LB_EM, LB_H2, LB_H3, LB_HL, LB_ID, LB_JL,
+    LB_JT, LB_JV, LB_RI, LB_SA, LB_AK, LB_AP, LB_AS, LB_VF, LB_VI
+};
+
+// The full LB2-LB31 pair cascade with all stateful context as parameters.
+// 0 = no break, 1 = opportunity, 2 = mandatory.
+static int lb_decide(uint8_t pc, uint8_t cc, uint8_t prior, int sp_before,
+                     int64_t ri_run, int zwj_prev) {
+    if (pc == LB_CR && cc == LB_LF) return 0;
+    if (pc == LB_BK || pc == LB_CR || pc == LB_LF || pc == LB_NL)
+        return 2;  // LB4/LB5
+    if (cc == LB_BK || cc == LB_CR || cc == LB_LF || cc == LB_NL)
+        return 0;  // LB6
+    if (cc == LB_SP || cc == LB_ZW) return 0;  // LB7
+    if (pc == LB_ZW || (pc == LB_SP && sp_before == LB_ZW)) return 1;  // LB8
+    if (zwj_prev) return 0;  // LB8a
+    if (pc == LB_WJ || cc == LB_WJ) return 0;  // LB11
+    if (pc == LB_GL) return 0;  // LB12
+    if (cc == LB_GL && pc != LB_SP && pc != LB_BA && pc != LB_HY)
+        return 0;  // LB12a
+    if (cc == LB_CL || cc == LB_CP || cc == LB_EX || cc == LB_IS ||
+        cc == LB_SY) return 0;  // LB13
+    if (sp_before == LB_OP && (pc == LB_OP || pc == LB_SP)) return 0;  // LB14
+    if (pc == LB_QU && cc == LB_OP) return 0;  // LB15
+    if ((sp_before == LB_CL || sp_before == LB_CP) && cc == LB_NS &&
+        (pc == LB_CL || pc == LB_CP || pc == LB_SP)) return 0;  // LB16
+    if (sp_before == LB_B2 && cc == LB_B2 && (pc == LB_B2 || pc == LB_SP))
+        return 0;  // LB17
+    if (pc == LB_SP) return 1;  // LB18
+    if (pc == LB_QU || cc == LB_QU) return 0;  // LB19
+    if (pc == LB_CB || cc == LB_CB) return 1;  // LB20
+    if (cc == LB_BA || cc == LB_HY || cc == LB_NS || pc == LB_BB)
+        return 0;  // LB21
+    if (prior == LB_HL && (pc == LB_HY || pc == LB_BA)) return 0;  // LB21a
+    if (pc == LB_SY && cc == LB_HL) return 0;  // LB21b
+    if (cc == LB_IN) return 0;  // LB22
+    if (((pc == LB_AL || pc == LB_HL) && cc == LB_NU) ||
+        (pc == LB_NU && (cc == LB_AL || cc == LB_HL))) return 0;  // LB23
+    if ((pc == LB_PR && (cc == LB_ID || cc == LB_EB || cc == LB_EM)) ||
+        ((pc == LB_ID || pc == LB_EB || pc == LB_EM) && cc == LB_PO))
+        return 0;  // LB23a
+    if (((pc == LB_PR || pc == LB_PO) && (cc == LB_AL || cc == LB_HL)) ||
+        ((pc == LB_AL || pc == LB_HL) && (cc == LB_PR || cc == LB_PO)))
+        return 0;  // LB24
+    if (((pc == LB_CL || pc == LB_CP || pc == LB_NU) &&
+         (cc == LB_PO || cc == LB_PR)) ||
+        ((pc == LB_PO || pc == LB_PR) && (cc == LB_OP || cc == LB_NU)) ||
+        ((pc == LB_HY || pc == LB_IS || pc == LB_NU || pc == LB_SY) &&
+         cc == LB_NU)) return 0;  // LB25
+    if (pc == LB_JL && (cc == LB_JL || cc == LB_JV || cc == LB_H2 ||
+                        cc == LB_H3)) return 0;  // LB26
+    if ((pc == LB_JV || pc == LB_H2) && (cc == LB_JV || cc == LB_JT))
+        return 0;
+    if ((pc == LB_JT || pc == LB_H3) && cc == LB_JT) return 0;
+    if ((pc == LB_JL || pc == LB_JV || pc == LB_JT || pc == LB_H2 ||
+         pc == LB_H3) && cc == LB_PO) return 0;  // LB27
+    if (pc == LB_PR && (cc == LB_JL || cc == LB_JV || cc == LB_JT ||
+                        cc == LB_H2 || cc == LB_H3)) return 0;
+    if ((pc == LB_AL || pc == LB_HL) && (cc == LB_AL || cc == LB_HL))
+        return 0;  // LB28
+    if (pc == LB_IS && (cc == LB_AL || cc == LB_HL)) return 0;  // LB29
+    if (((pc == LB_AL || pc == LB_HL || pc == LB_NU) && cc == LB_OP) ||
+        (pc == LB_CP && (cc == LB_AL || cc == LB_HL || cc == LB_NU)))
+        return 0;  // LB30
+    if (pc == LB_RI && cc == LB_RI && (ri_run % 2) == 1) return 0;  // LB30a
+    if (pc == LB_EB && cc == LB_EM) return 0;  // LB30b
+    return 1;  // LB31
+}
+
+#define LB_NCLS 48
+
+// Precomputed decisions for pairs whose outcome needs no history: when
+// pc != SP, sp_before == pc by construction; pc in {HY, BA} (LB21a), the
+// RI×RI pair (LB30a) and a raw ZWJ predecessor (LB8a) go the slow lane.
+static uint8_t lb_pair_tab[LB_NCLS][LB_NCLS];
+static bool lb_tab_ready = false;
+
+static void lb_tab_init(void) {
+    for (int p = 0; p < LB_NCLS; ++p)
+        for (int c = 0; c < LB_NCLS; ++c)
+            lb_pair_tab[p][c] =
+                (uint8_t)lb_decide((uint8_t)p, (uint8_t)c, 255, p, 0, 0);
+    lb_tab_ready = true;
+}
+
+// Break opportunities: writes byte offsets to out and 0/1 mandatory flags
+// to mand, returns the count (≤ cap; out==nullptr counts only). Semantics
+// identical to ops/segment.py::line_breaks (LB2-LB31 core cascade). One
+// streaming pass: decode + LB1 + LB9/10 attachment inline; the common
+// stateless pairs hit the precomputed table.
+int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
+                     int64_t* out, uint8_t* mand, int64_t cap) {
+    if (n <= 0) return 0;
+    if (!lb_tab_ready) lb_tab_init();
+    int64_t count = 0;
+    uint8_t pc = 255, prior = 255;  // element classes C[k-1], C[k-2]
+    uint8_t prev_raw = 255;         // raw (post-LB1) class of previous rune
+    int sp_before = 0;
+    int64_t ri_run = 0;
+    bool first = true;
+    int64_t i = 0;
+    while (i < n) {
+        uint32_t r;
+        int64_t used;
+        uint8_t c;
+        if (data[i] < 0x80) {
+            c = lb[data[i]];
+            used = 1;
+        } else {
+            used = tc_decode_one(data, i, n, &r);
+            c = lb[r];
+        }
+        // LB1 resolution
+        if (c == LB_AI || c == LB_SG || c == LB_XX || c == LB_SA) c = LB_AL;
+        else if (c == LB_CJ) c = LB_NS;
+        // LB9/LB10: attach CM/ZWJ to base (not after BK/CR/LF/NL/SP/ZW/sot)
+        bool cmz = (c == LB_CM || c == LB_ZWJ);
+        if (cmz && !first &&
+            !(prev_raw == LB_BK || prev_raw == LB_CR || prev_raw == LB_LF ||
+              prev_raw == LB_NL || prev_raw == LB_SP || prev_raw == LB_ZW)) {
+            prev_raw = c;
+            i += used;
+            continue;
+        }
+        int zwj_prev = (prev_raw == LB_ZWJ);
+        if (cmz) c = LB_AL;  // LB10 standalone (before raw tracking — the
+                             // Python tier computes zwj_raw post-rewrite)
+        prev_raw = c;
+        if (first) {
+            first = false;
+            pc = c;
+            if (pc != LB_SP) sp_before = pc;
+            i += used;
+            continue;
+        }
+        uint8_t cc = c;
+        // state maintained exactly as the Python scan does at loop top
+        if (pc != LB_SP) sp_before = pc;
+        ri_run = (pc == LB_RI) ? ri_run + 1 : 0;
+        int emit;
+        if (pc != LB_SP && pc != LB_HY && pc != LB_BA && !zwj_prev &&
+            !(pc == LB_RI && cc == LB_RI))
+            emit = lb_pair_tab[pc][cc];
+        else
+            emit = lb_decide(pc, cc, prior, sp_before, ri_run, zwj_prev);
+        if (emit) {
+            if (out && count < cap) {
+                out[count] = i;
+                if (mand) mand[count] = (uint8_t)(emit == 2);
+            }
+            ++count;
+        }
+        prior = pc;
+        pc = cc;
+        i += used;
+    }
+    return count;
+}
+
+int tc_version(void) { return 5; }
 
 }  // extern "C"

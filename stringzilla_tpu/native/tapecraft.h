@@ -134,6 +134,21 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
                          const uint32_t* mvals, int64_t mcount,
                          int64_t* out_off, int64_t* out_len);
 
+/* ---- Unicode segmentation ---- */
+
+/* UAX-29 sentence breaks (SB1-SB11): writes up to `cap` byte offsets where
+ * a new sentence starts (offset 0 excluded); returns the total count.  The
+ * class table `sb` is u8[0x110000] of Sentence_Break ids in the order of
+ * stringzilla_tpu.ops.ucd.SB_VALUES (dump once with numpy .tofile()). */
+int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
+                     int64_t* out, int64_t cap);
+
+/* UAX-14 line-break opportunities (LB2-LB31 core cascade): writes up to
+ * `cap` byte offsets and 0/1 mandatory flags; returns the total count.
+ * `lb` is u8[0x110000] of Line_Break ids in ucd.LB_VALUES order. */
+int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
+                     int64_t* out, uint8_t* mand, int64_t cap);
+
 #ifdef __cplusplus
 }  /* extern "C" */
 #endif

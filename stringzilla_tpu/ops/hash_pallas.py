@@ -221,155 +221,275 @@ def hash_tokens_device(data2d: np.ndarray, lengths: np.ndarray, seed: int,
     return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
 
 
-def _kernel_long(ncm: int, interpret: bool, refs):
-    """Long path (> 64 B): 512-bit state as four stacked AES lanes (64 rows),
-    absorbing one 64-byte chunk per unrolled step (live-masked per lane so
-    one kernel serves a dyadic chunk-count bucket), the deferred final block
-    at fixed rows [64*ncm, 64*ncm+64), then the reference's lane-collapse
-    finalization (``hash/serial.h:443-500``)."""
-    data_ref, len_ref, chunks_ref, seed_ref, sbox_ref, pi8_ref, out_ref = refs
+def _kernel_long(cb: int, n_steps: int, interpret: bool, refs):
+    """Long path (> 64 B): 512-bit state as four stacked AES lanes (64 rows).
+    The chunk axis is *streamed through the grid* — each grid step absorbs
+    ``cb`` 64-byte chunks from a bounded VMEM block, carrying the state in
+    VMEM scratch across steps, so the per-step footprint is constant no
+    matter how long the strings are (1 MB documents stream just like 1 KB
+    ones). Chunks are live-masked per lane so one kernel serves a dyadic
+    chunk-count bucket. The deferred (zero-padded) final block and the
+    reference's lane-collapse finalization (``hash/serial.h:443-500``) run
+    in the last step."""
+    (data_ref, fin_ref, len_ref, chunks_ref, seed_ref, sbox_ref, pi8_ref,
+     out_ref, aes_ref, sum_ref) = refs
+    j = pl.program_id(1)
     L = len_ref.shape[1]
     rows64 = jax.lax.broadcasted_iota(jnp.int32, (64, L), 0)
     rows64_16 = rows64 % 16
     rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, L), 0)
 
-    aes = jnp.broadcast_to(pi8_ref[:, 0:1], (64, L)).astype(jnp.int32)
-    summ = jnp.broadcast_to(pi8_ref[:, 1:2], (64, L)).astype(jnp.int32)
+    @pl.when(j == 0)
+    def _init():
+        aes_ref[...] = jnp.broadcast_to(pi8_ref[:, 0:1], (64, L)).astype(jnp.int32)
+        sum_ref[...] = jnp.broadcast_to(pi8_ref[:, 1:2], (64, L)).astype(jnp.int32)
+
+    aes = aes_ref[...]
+    summ = sum_ref[...]
     chunks = chunks_ref[...]  # (1, L) full-chunk count per lane
 
-    for c in range(ncm):
-        blk = data_ref[c * 64 : (c + 1) * 64, :]
-        live = c < chunks
+    for k in range(cb):
+        blk = data_ref[k * 64 : (k + 1) * 64, :]
+        live = j * cb + k < chunks
         aes = jnp.where(live, _aesenc16(aes, blk, sbox_ref, rows64, interpret), aes)
         summ = jnp.where(live, _sum_update16(summ, blk, rows64_16, interpret), summ)
 
-    # Deferred (zero-padded) final block, fixed position for every lane.
-    ins = data_ref[ncm * 64 : (ncm + 1) * 64, :]
-    lanes_aes = _aesenc16(aes, ins, sbox_ref, rows64, interpret)
-    lanes_sum = _sum_update16(summ, ins, rows64_16, interpret)
-    mixed = _aesenc16(lanes_sum, lanes_aes, sbox_ref, rows64, interpret)
+    aes_ref[...] = aes
+    sum_ref[...] = summ
 
-    m01 = _aesenc16(mixed[0:16], mixed[16:32], sbox_ref, rows16, interpret)
-    m23 = _aesenc16(mixed[32:48], mixed[48:64], sbox_ref, rows16, interpret)
-    mall = _aesenc16(m01, m23, sbox_ref, rows16, interpret)
+    @pl.when(j == n_steps - 1)
+    def _finalize():
+        ins = fin_ref[...]
+        lanes_aes = _aesenc16(aes, ins, sbox_ref, rows64, interpret)
+        lanes_sum = _sum_update16(summ, ins, rows64_16, interpret)
+        mixed = _aesenc16(lanes_sum, lanes_aes, sbox_ref, rows64, interpret)
 
-    # key_with_length byte plane (same as the short kernel).
-    seed_lo = seed_ref[0, 0]
-    seed_hi = seed_ref[0, 1]
-    ln = len_ref[...]
-    kw_lo = seed_lo + ln
-    kw_carry = _uless(kw_lo, jnp.broadcast_to(seed_lo, kw_lo.shape)).astype(jnp.int32)
-    kw_hi = seed_hi + kw_carry
-    word = jnp.where(rows16 < 4, kw_lo,
-            jnp.where(rows16 < 8, kw_hi,
-             jnp.where(rows16 < 12, seed_lo, seed_hi)))
-    kwl = (word >> ((rows16 & 3) << 3)) & 0xFF
+        m01 = _aesenc16(mixed[0:16], mixed[16:32], sbox_ref, rows16, interpret)
+        m23 = _aesenc16(mixed[32:48], mixed[48:64], sbox_ref, rows16, interpret)
+        mall = _aesenc16(m01, m23, sbox_ref, rows16, interpret)
 
-    out_ref[...] = _aesenc16(_aesenc16(mall, kwl, sbox_ref, rows16, interpret),
-                             mall, sbox_ref, rows16, interpret)
+        # key_with_length byte plane (same as the short kernel).
+        seed_lo = seed_ref[0, 0]
+        seed_hi = seed_ref[0, 1]
+        ln = len_ref[...]
+        kw_lo = seed_lo + ln
+        kw_carry = _uless(kw_lo, jnp.broadcast_to(seed_lo, kw_lo.shape)).astype(jnp.int32)
+        kw_hi = seed_hi + kw_carry
+        word = jnp.where(rows16 < 4, kw_lo,
+                jnp.where(rows16 < 8, kw_hi,
+                 jnp.where(rows16 < 12, seed_lo, seed_hi)))
+        kwl = (word >> ((rows16 & 3) << 3)) & 0xFF
+
+        out_ref[...] = _aesenc16(_aesenc16(mall, kwl, sbox_ref, rows16, interpret),
+                                 mall, sbox_ref, rows16, interpret)
 
 
-def _pick_long_lanes(ncm: int) -> int:
-    lanes = (4 << 20) // (64 * (ncm + 1) * 4)
+# Chunks absorbed per grid step on the streamed long path. 32 chunks ×
+# 64 B × 4 B/byte-plane × 256 lanes = 2 MiB per input block (×2 with
+# Pallas double-buffering) — comfortably inside the ~16 MiB VMEM budget.
+LONG_CHUNK_BLOCK = 32
+
+
+def _pick_long_lanes(cb: int) -> int:
+    """Lane-block width targeting ~2 MiB per streamed input block."""
+    lanes = (2 << 20) // (64 * cb * 4)
     lanes = max(128, min(1024, lanes))
     return 1 << (lanes.bit_length() - 1)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_long(ncm: int, n_lanes: int, lanes_block: int, interpret: bool):
-    grid = (n_lanes // lanes_block,)
-    kernel = functools.partial(_kernel_long, ncm, interpret)
+    cb = min(ncm, LONG_CHUNK_BLOCK)
+    n_steps = -(-ncm // cb)
+    grid = (n_lanes // lanes_block, n_steps)
+    kernel = functools.partial(_kernel_long, cb, n_steps, interpret)
 
-    def wrapped(data, lens, chunks, seed, sbox, pi8):
+    def wrapped(data, fin, lens, chunks, seed, sbox, pi8):
         return pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((64 * (ncm + 1), lanes_block), lambda i: (0, i),
+                pl.BlockSpec((64 * cb, lanes_block), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes_block), lambda i: (0, i),
+                pl.BlockSpec((64, lanes_block), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lanes_block), lambda i: (0, i),
+                pl.BlockSpec((1, lanes_block), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((64, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lanes_block), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((16, lanes_block), lambda i: (0, i),
+            out_specs=pl.BlockSpec((16, lanes_block), lambda i, j: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((16, n_lanes), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((64, lanes_block), jnp.int32),
+                            pltpu.VMEM((64, lanes_block), jnp.int32)],
             interpret=interpret,
-        )(data, lens, chunks, seed, sbox, pi8)
+        )(data, fin, lens, chunks, seed, sbox, pi8)
 
     return jax.jit(wrapped)
 
 
-def hash_long_device(items: list[bytes], seed: int, ncm: int) -> np.ndarray:
-    """Hash strings > 64 B on device, bucketed to ``ncm`` max full chunks.
-    Returns u64 digests in input order (bit-identical to ``sz_hash``)."""
-    n = len(items)
-    lanes_block = _pick_long_lanes(ncm)
-    total = max(-(-n // lanes_block), 1) * lanes_block
-    data = np.zeros((64 * (ncm + 1), total), np.uint8)
-    lengths = np.zeros(total, np.int32)
-    chunks = np.zeros(total, np.int32)
-    for i, s in enumerate(items):
-        ln = len(s)
-        c = (ln - 1) // 64
-        buf = np.frombuffer(s, np.uint8)
-        data[: c * 64, i] = buf[: c * 64]
-        data[ncm * 64 : ncm * 64 + (ln - c * 64), i] = buf[c * 64 :]
-        lengths[i] = ln
-        chunks[i] = c
+def _seed_planes(seed: int):
     seed_arr = np.array([[seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF]],
                         dtype=np.uint32).view(np.int32)
     with np.errstate(over="ignore"):
         aes8 = (np.uint64(seed) ^ PI[:8]).astype("<u8").view(np.uint8)
         sum8 = (np.uint64(seed) ^ PI[8:]).astype("<u8").view(np.uint8)
     pi8 = np.stack([aes8, sum8], axis=1).astype(np.int32)  # (64, 2)
-    call = _build_long(ncm, total, lanes_block, platform.pallas_interpret())
-    out = np.asarray(call(jnp.asarray(data.astype(np.int32)),
-                          jnp.asarray(lengths).reshape(1, -1),
-                          jnp.asarray(chunks).reshape(1, -1),
-                          jnp.asarray(seed_arr), jnp.asarray(_SBOX_LANES),
-                          jnp.asarray(pi8)))
+    return seed_arr, pi8
+
+
+@functools.lru_cache(maxsize=64)
+def _build_long_tape(ncm: int, n_lanes: int, lanes_block: int, interpret: bool):
+    """Fused device program: gather the bucket's bytes from the resident
+    blob into the streamed chunk layout + the deferred final block, then the
+    long kernel — no host packing."""
+    from .pack_device import pack_on_device
+
+    call = _build_long(ncm, n_lanes, lanes_block, interpret)
+    cb = min(ncm, LONG_CHUNK_BLOCK)
+    row_len = 64 * cb * (-(-ncm // cb))
+
+    def run(blob, offs, lens, chunks, seed, sbox, pi8):
+        data = pack_on_device(blob, offs, chunks * 64, row_len=row_len,
+                              transpose=True)
+        fin = pack_on_device(blob, offs + chunks * 64, lens - chunks * 64,
+                             row_len=64, transpose=True)
+        return call(data, fin, lens.reshape(1, -1), chunks.reshape(1, -1),
+                    seed, sbox, pi8)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_short_tape(n_blocks: int, n_lanes: int, interpret: bool):
+    """Fused device program for ≤64 B tokens: gather + short kernel."""
+    from .pack_device import pack_on_device
+
+    call = _build(n_blocks, n_lanes, interpret)
+
+    def run(blob, offs, lens, seed, sbox, pib):
+        data = pack_on_device(blob, offs, lens, row_len=16 * n_blocks,
+                              transpose=True)
+        return call(data, lens.reshape(1, -1), seed, sbox, pib)
+
+    return jax.jit(run)
+
+
+def hash_long_device(items: list[bytes], seed: int, ncm: int) -> np.ndarray:
+    """Hash strings > 64 B on device, bucketed to ``ncm`` max full chunks.
+    Returns u64 digests in input order (bit-identical to ``sz_hash``)."""
+    from .tape import Tape
+
+    dt = _as_device_tape(Tape.from_strings(items))
+    return _hash_long_bucket(dt, np.arange(len(items)), seed, ncm)
+
+
+def _as_device_tape(tape):
+    from .pack_device import device_tape
+
+    return device_tape(tape)
+
+
+def _hash_long_bucket(dt, idx, seed: int, ncm: int):
+    n = len(idx)
+    cb = min(ncm, LONG_CHUNK_BLOCK)
+    lanes_block = _pick_long_lanes(cb)
+    total = max(-(-n // lanes_block), 1) * lanes_block
+    offs, lens = dt.bucket_arrays(np.asarray(idx, dtype=np.int64), total)
+    chunks = jnp.maximum(lens - 1, 0) // 64
+    seed_arr, pi8 = _seed_planes(seed)
+    call = _build_long_tape(ncm, total, lanes_block, platform.pallas_interpret())
+    out = np.asarray(call(dt.data, offs, lens, chunks, jnp.asarray(seed_arr),
+                          jnp.asarray(_SBOX_LANES), jnp.asarray(pi8)))
     b = out[:8, :n].astype(np.uint64)
     shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
     return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
 
 
-# Strings above this take the host path (a 16 KiB string is ~256 unrolled
-# AES steps — past the point where per-call compile cost beats numpy).
-LONG_DEVICE_MAX = 16 << 10
+def _hash_short_bucket(dt, idx, seed: int, n_blocks: int):
+    n = len(idx)
+    total = max(1 << max(n - 1, 1).bit_length(), LANES_BLOCK)
+    total = -(-total // LANES_BLOCK) * LANES_BLOCK
+    offs, lens = dt.bucket_arrays(np.asarray(idx, dtype=np.int64), total)
+    seed_arr = np.array([[seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF]],
+                        dtype=np.uint32).view(np.int32)
+    with np.errstate(over="ignore"):
+        aes_pair = (np.uint64(seed) ^ PI[0:2]).astype("<u8").view(np.uint8)
+        sum_pair = (np.uint64(seed) ^ PI[8:10]).astype("<u8").view(np.uint8)
+    pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)
+    call = _build_short_tape(n_blocks, total, platform.pallas_interpret())
+    out = np.asarray(call(dt.data, offs, lens, jnp.asarray(seed_arr),
+                          jnp.asarray(_SBOX_LANES), jnp.asarray(pib)))
+    b = out[:8, :n].astype(np.uint64)
+    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+    return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
+
+
+# Streaming long path: strings up to 2 MiB run on device (32-chunk VMEM
+# blocks with carried state — the grid streams the chunk axis, so VMEM use
+# is constant in string length); bigger still falls back to host numpy.
+LONG_DEVICE_MAX = 2 << 20
 
 
 def hash_batch_device(items, seed: int = 0) -> np.ndarray:
-    """Device-batched ``sz_hash`` over a collection (bit-identical). Tokens
-    ≤ 64 B run the short kernel bucketed by 16-byte block count; strings up
-    to ``LONG_DEVICE_MAX`` run the four-lane long kernel bucketed by dyadic
-    chunk count; anything bigger falls back to the host path."""
-    items = [bytes(s) for s in items]
-    out = np.zeros(len(items), dtype=np.uint64)
-    groups: dict[int, list[int]] = {}
-    long_groups: dict[int, list[int]] = {}
-    for i, s in enumerate(items):
-        if len(s) <= 64:
-            groups.setdefault(max(1, -(-len(s) // 16)), []).append(i)
-        elif len(s) <= LONG_DEVICE_MAX:
-            c = (len(s) - 1) // 64
-            long_groups.setdefault(1 << (c - 1).bit_length(), []).append(i)
-        else:
-            out[i] = sz_hash(s, seed)
-    for n_blocks, idx in groups.items():
-        lens = np.fromiter((len(items[i]) for i in idx), dtype=np.int64,
-                           count=len(idx))
-        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        blob = np.frombuffer(b"".join(items[i] for i in idx), dtype=np.uint8)
-        data2d, lengths = native.pack_i32(blob, offsets, None, len(idx),
-                                          16 * n_blocks, transpose=True, fill=0)
-        out[np.asarray(idx)] = hash_tokens_device(data2d, lengths, seed, n_blocks)
-    for ncm, idx in long_groups.items():
-        out[np.asarray(idx)] = hash_long_device([items[i] for i in idx],
-                                                seed, ncm)
+    """Device-batched ``sz_hash`` over a collection (bit-identical to the
+    reference, golden-vector-tested). Accepts a list of byte strings or a
+    :class:`~stringzilla_tpu.ops.tape.Tape`. The blob rides to HBM once;
+    gather/packing happens on device. Tokens ≤ 64 B run the short kernel
+    bucketed by 16-byte block count; strings to ``LONG_DEVICE_MAX`` run the
+    streamed four-lane long kernel bucketed by dyadic chunk count; anything
+    bigger falls back to the host path."""
+    from .tape import Tape
+
+    tape = items if isinstance(items, Tape) else Tape.from_strings(
+        [bytes(s) for s in items])
+    return _hash_tape_core(_as_device_tape(tape), seed,
+                           lambda i: tape[i])
+
+
+def hash_bounds_device(buf, starts, ends, seed: int = 0) -> np.ndarray:
+    """``sz_hash`` over (start, end) spans of one buffer — the zero-copy
+    ``Strs.hashes`` path: the parent buffer mirrors to HBM once and every
+    span is gathered on device."""
+    from .pack_device import DeviceTape
+
+    buf = np.asarray(buf, dtype=np.uint8)
+    dt = DeviceTape.from_bounds(buf, starts, ends)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    return _hash_tape_core(dt, seed,
+                           lambda i: buf[starts[i]:ends[i]].tobytes())
+
+
+def _hash_tape_core(dt, seed: int, get_bytes) -> np.ndarray:
+    lens = dt.lengths
+    n = len(dt)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    short = lens <= 64
+    nb_short = np.maximum(1, -(-lens // 16))
+    long_mask = (~short) & (lens <= LONG_DEVICE_MAX)
+    huge = np.nonzero((~short) & (~long_mask))[0]
+    chunk_count = np.maximum(lens - 1, 0) // 64
+    ncm_long = np.zeros(n, dtype=np.int64)
+    nz = long_mask.nonzero()[0]
+    if len(nz):
+        ncm_long[nz] = 1 << np.ceil(
+            np.log2(np.maximum(chunk_count[nz], 1))).astype(np.int64)
+    pending = []
+    for nb in np.unique(nb_short[short]):
+        idx = np.nonzero(short & (nb_short == nb))[0]
+        pending.append((idx, _hash_short_bucket(dt, idx, seed, int(nb))))
+    for ncm in np.unique(ncm_long[long_mask]):
+        idx = np.nonzero(long_mask & (ncm_long == ncm))[0]
+        pending.append((idx, _hash_long_bucket(dt, idx, seed, int(ncm))))
+    for idx, vals in pending:
+        out[idx] = vals
+    for i in huge:
+        out[i] = sz_hash(get_bytes(int(i)), seed)
     return out

@@ -1,0 +1,138 @@
+"""Device-resident ragged→dense packing — the on-device half of the tape.
+
+The reference's batch ABI receives Arrow-style tapes (one data blob +
+offsets, ``include/stringzillas/stringzillas.h:61-76``) and its engines pack
+candidate blocks on the *host* into SIMD lane layouts
+(``candidate_lanes_block``, ``include/stringzillas/types.hpp:316-330``).
+Round 2 of this framework did the same through ``tapecraft.cpp`` — which
+made every hash/SHA/fingerprint call pay a host pack + a padded transfer.
+
+This module moves the pack onto the chip: the blob travels to HBM **once**
+(raw bytes, no padding), and every bucketed dense block is produced by an
+XLA gather inside the same jit program as the kernel that consumes it.  The
+host's only remaining jobs are bucketing (tiny integer work on lengths) and
+pulling results.
+
+Layouts produced (matching ``utils/native.pack_u8 / pack_i32``):
+
+* ``transpose=False`` → ``(count, row_len)`` — row-major documents;
+* ``transpose=True``  → ``(row_len, count)`` — characters down sublanes,
+  documents across lanes (what the Pallas kernels consume).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tape import Tape
+
+__all__ = ["DeviceTape", "device_tape", "pack_on_device"]
+
+
+@functools.partial(jax.jit, static_argnames=("row_len", "transpose", "fill",
+                                             "dtype"))
+def pack_on_device(blob, offs, lens, *, row_len: int, transpose: bool = False,
+                   fill: int = 0, dtype=jnp.int32):
+    """Gather ``count`` substrings of ``blob`` into a zero-padded dense
+    block. ``offs``/``lens`` are ``int32[count]`` device arrays; strings
+    longer than ``row_len`` are truncated (callers bucket so they never
+    are)."""
+    j = jnp.arange(row_len, dtype=jnp.int32)
+    pos = offs[:, None] + j[None, :]
+    valid = j[None, :] < jnp.minimum(lens, row_len)[:, None]
+    safe = jnp.where(valid, pos, 0)
+    vals = jnp.take(blob, safe.reshape(-1), axis=0,
+                    indices_are_sorted=False, unique_indices=False)
+    vals = vals.reshape(safe.shape).astype(dtype)
+    vals = jnp.where(valid, vals, jnp.asarray(fill, dtype))
+    return vals.T if transpose else vals
+
+
+class DeviceTape:
+    """A string collection mirrored to the default device.
+
+    ``data`` is the raw ``uint8`` buffer in HBM (padded by 4 zero bytes so
+    word-granularity reads stay in bounds); ``starts``/``lengths`` stay
+    host numpy arrays — bucketing is host work on lengths, only per-bucket
+    ``(offs, lens)`` vectors ride to the device (a few KB). Strings need
+    not be contiguous or ordered in the buffer, so zero-copy ``Strs`` views
+    mirror without re-joining bytes.
+    """
+
+    def __init__(self, tape: Tape | None = None, *, data=None, starts=None,
+                 lengths=None):
+        if tape is not None:
+            data = np.asarray(tape.data, dtype=np.uint8)
+            offsets = np.asarray(tape.offsets, dtype=np.int64)
+            starts = offsets[:-1]
+            lengths = np.diff(offsets)
+        if isinstance(data, np.ndarray):
+            padded = np.zeros(data.shape[0] + 4, dtype=np.uint8)
+            padded[: data.shape[0]] = data
+            self.data = jnp.asarray(padded)
+        else:  # already a device array (assumed tail-padded by the caller)
+            self.data = data
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+
+    @classmethod
+    def from_bounds(cls, buf, starts, ends) -> "DeviceTape":
+        starts = np.asarray(starts, dtype=np.int64)
+        return cls(data=buf, starts=starts,
+                   lengths=np.asarray(ends, dtype=np.int64) - starts)
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def bucket_arrays(self, idx: np.ndarray, lanes: int):
+        """Per-bucket ``(offs, lens)`` int32 device vectors padded to
+        ``lanes`` (padding lanes read offset 0 / length 0)."""
+        offs = np.zeros(lanes, dtype=np.int32)
+        lens = np.zeros(lanes, dtype=np.int32)
+        offs[: len(idx)] = self.starts[idx]
+        lens[: len(idx)] = self.lengths[idx]
+        return jnp.asarray(offs), jnp.asarray(lens)
+
+    def pack(self, idx: np.ndarray, lanes: int, row_len: int,
+             transpose: bool = False, dtype=jnp.int32):
+        offs, lens = self.bucket_arrays(idx, lanes)
+        return pack_on_device(self.data, offs, lens, row_len=row_len,
+                              transpose=transpose, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("row_len", "transpose", "fill",
+                                             "shift", "use_lut"))
+def pack_chars(blob, offs, lens, lut, *, row_len: int, transpose: bool,
+               fill: int, shift: bool = False, use_lut: bool = False):
+    """Dense char block for the DP engines: gather + optional byte→class
+    LUT (the ``error_costs_32x32_t`` class map applied on device, reference
+    ``serial.hpp:118-189``) + padding fill; ``shift`` prepends the zero
+    row of the +1-shifted column-walk query layout."""
+    j = jnp.arange(row_len, dtype=jnp.int32)
+    pos = offs[:, None] + j[None, :]
+    valid = j[None, :] < lens[:, None]
+    v = jnp.take(blob, jnp.where(valid, pos, 0).reshape(-1), axis=0)
+    v = v.reshape(valid.shape).astype(jnp.int32)
+    if use_lut:
+        v = jnp.take(lut, v, axis=0)
+    v = jnp.where(valid, v, jnp.int32(fill))
+    if shift:
+        v = jnp.concatenate([jnp.zeros((v.shape[0], 1), v.dtype), v], axis=1)
+    return v.T if transpose else v
+
+
+def device_tape(tape: Tape) -> DeviceTape:
+    """Cached device mirror of a host tape — stored on the Tape object
+    itself, so the blob stays resident exactly as long as the collection is
+    alive (the ``Str._device()`` pattern for collections)."""
+    if isinstance(tape, DeviceTape):
+        return tape
+    mirror = tape.__dict__.get("_device_mirror")
+    if mirror is None:
+        mirror = DeviceTape(tape)
+        object.__setattr__(tape, "_device_mirror", mirror)
+    return mirror

@@ -240,7 +240,20 @@ def words(buf: bytes) -> list[tuple[int, int]]:
 
 
 def sentence_breaks(buf: bytes) -> np.ndarray:
-    """Byte offsets where a new sentence starts (excluding 0)."""
+    """Byte offsets where a new sentence starts (excluding 0). Production
+    tier: the native automaton (``tapecraft.cpp::tc_sb_breaks``); this
+    Python element scan remains the differential oracle and fallback."""
+    from ..utils import native
+
+    buf = _as_bytes(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = native.sb_breaks(arr, ucd.sb_classes())
+    if out is not None:
+        return out
+    return _sentence_breaks_py(buf)
+
+
+def _sentence_breaks_py(buf: bytes) -> np.ndarray:
     buf = _as_bytes(buf)
     runes, offs = decode_runes(buf)
     n = runes.shape[0]
@@ -332,7 +345,20 @@ def sentences(buf: bytes) -> list[tuple[int, int]]:
 
 def line_breaks(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     """(offsets, mandatory) — byte offsets of break opportunities; the
-    parallel bool array marks mandatory breaks (after BK/CR/LF/NL)."""
+    parallel bool array marks mandatory breaks (after BK/CR/LF/NL).
+    Production tier: ``tapecraft.cpp::tc_lb_breaks``; this Python scan is
+    the oracle and fallback."""
+    from ..utils import native
+
+    buf = _as_bytes(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = native.lb_breaks(arr, ucd.lb_classes())
+    if out is not None:
+        return out
+    return _line_breaks_py(buf)
+
+
+def _line_breaks_py(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     buf = _as_bytes(buf)
     runes, offs = decode_runes(buf)
     n = runes.shape[0]

@@ -17,6 +17,7 @@ as literals — bit-for-bit identical, checked against hashlib in the tests.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -208,48 +209,99 @@ def _jit_batch(unrolled: bool):
 _BATCH_CACHE: dict[int, object] = {}
 
 
+@functools.lru_cache(maxsize=64)
+def _jit_tape_batch(n_blocks: int, unrolled: bool):
+    """End-to-end device program for one block-count bucket: gather message
+    bytes from the resident blob, apply the FIPS 180-4 padding (0x80 marker
+    + big-endian bit length) and big-endian word packing *on device*, then
+    run the batched compression. The only host work left is bucketing."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = _jit_batch(unrolled)
+    L = n_blocks * 64
+
+    def run(blob, offs, lens):  # offs/lens int32[lanes]
+        lanes = offs.shape[0]
+        j = jnp.arange(L, dtype=jnp.int32)
+        pos = offs[:, None] + j[None, :]
+        valid = j[None, :] < lens[:, None]
+        safe = jnp.where(valid, pos, 0)
+        b = jnp.take(blob, safe.reshape(-1), axis=0).reshape(lanes, L)
+        b = jnp.where(valid, b.astype(jnp.uint32), jnp.uint32(0))
+        b = jnp.where(j[None, :] == lens[:, None], jnp.uint32(0x80), b)
+        # big-endian 64-bit bit length in the last 8 bytes (hi/lo u32 halves
+        # — no u64 lanes on TPU; messages are < 2^28 bytes by construction)
+        bits_lo = (lens.astype(jnp.uint32)) << jnp.uint32(3)
+        bits_hi = (lens.astype(jnp.uint32)) >> jnp.uint32(29)
+        k = j - (L - 8)
+        sh_hi = (jnp.uint32(8) * (3 - k).astype(jnp.uint32))
+        sh_lo = (jnp.uint32(8) * (7 - k).astype(jnp.uint32))
+        tail = jnp.where(k[None, :] < 4,
+                         (bits_hi[:, None] >> sh_hi[None, :]) & jnp.uint32(0xFF),
+                         (bits_lo[:, None] >> sh_lo[None, :]) & jnp.uint32(0xFF))
+        b = jnp.where(k[None, :] >= 0, tail, b)
+        # pack 4 bytes big-endian → u32 words, (lanes, L/4) → (nb, 16, lanes)
+        bb = b.reshape(lanes, L // 4, 4)
+        w = ((bb[:, :, 0] << jnp.uint32(24)) | (bb[:, :, 1] << jnp.uint32(16))
+             | (bb[:, :, 2] << jnp.uint32(8)) | bb[:, :, 3])
+        words = w.reshape(lanes, n_blocks, 16).transpose(1, 2, 0)
+        return inner(words)  # (8, lanes) uint32
+
+    return jax.jit(run)
+
+
+# Device batch path handles messages below this (the 64-bit FIPS bit length
+# is carried as two u32 halves; 2^28 B = 256 MB keeps every shift exact).
+_TAPE_MAX_LEN = 1 << 28
+
+
+def sha256_tape(tape, indices: np.ndarray | None = None) -> np.ndarray:
+    """SHA-256 over a :class:`~stringzilla_tpu.ops.tape.Tape` (or
+    ``DeviceTape``), shape ``(n, 32) uint8`` — the honest end-to-end path:
+    raw bytes up once, padding/packing/rounds on device, 32 B per digest
+    back. Reference contract: ``sz_sha256_state_*`` (``hash.h:283-300``)
+    applied per collection element."""
+    from ..utils import platform
+    from .pack_device import device_tape
+
+    dt = device_tape(tape)
+    if indices is None:
+        indices = np.arange(len(dt))
+    indices = np.asarray(indices, dtype=np.int64)
+    out = np.empty((len(indices), 32), dtype=np.uint8)
+    if len(indices) == 0:
+        return out
+    all_lens = dt.lengths[indices]
+    if int(all_lens.max()) >= _TAPE_MAX_LEN:
+        raise ValueError("sha256_tape: messages must be < 256 MB")
+    blocks = (all_lens + 8) // 64 + 1
+    unrolled = platform.on_tpu()
+    pending = []
+    for n_blocks in np.unique(blocks):
+        rows = np.nonzero(blocks == n_blocks)[0]
+        G = len(rows)
+        lanes = max(128, 1 << (G - 1).bit_length())
+        offs, lens = dt.bucket_arrays(indices[rows], lanes)
+        fn = _jit_tape_batch(int(n_blocks), unrolled)
+        pending.append((rows, G, fn(dt.data, offs, lens)))
+    for rows, G, digests in pending:
+        d = np.asarray(digests)[:, :G]  # (8, G) uint32
+        out[rows] = (np.ascontiguousarray(d.T).astype(">u4")
+                     .view(np.uint8).reshape(G, 32))
+    return out
+
+
 def sha256_batch(items) -> np.ndarray:
     """SHA-256 digests of a collection, shape ``(n, 32) uint8``. Messages
-    are grouped by padded block count; each group's rounds run once for all
-    its messages across the device's lane axis (the TPU analog of the
-    reference's thread-pool batch hashing in ``szs``)."""
-    from ..utils import native
+    are grouped by padded block count; each group's gather + FIPS padding +
+    rounds run as one device program across the lane axis (the TPU analog
+    of the reference's thread-pool batch hashing in ``szs``)."""
+    from .tape import Tape
 
-    items = [bytes(s) for s in items]
-    out = np.empty((len(items), 32), dtype=np.uint8)
-    all_lens = np.fromiter(map(len, items), dtype=np.int64,
-                           count=len(items))
-    offsets = np.zeros(len(items) + 1, dtype=np.int64)
-    np.cumsum(all_lens, out=offsets[1:])
-    blob = (np.frombuffer(b"".join(items), dtype=np.uint8)
-            if len(items) else np.zeros(0, np.uint8))
-    blocks = (all_lens + 8) // 64 + 1
-    for n_blocks in np.unique(blocks):
-        idx = np.nonzero(blocks == n_blocks)[0]
-        G = len(idx)
-        # dyadic lane padding bounds the number of compiled (blocks, lanes)
-        # specializations and keeps the lane axis VPU-aligned
-        lanes = max(128, 1 << (G - 1).bit_length())
-        # native ragged→dense pack, then one-shot vectorized FIPS padding:
-        # the 0x80 marker and the big-endian bit-length tail
-        buf = native.pack_u8(blob, offsets, idx, lanes, int(n_blocks) * 64)
-        lens = np.zeros(lanes, dtype=np.int64)
-        lens[:G] = all_lens[idx]
-        buf[np.arange(G), lens[:G]] = 0x80
-        tail = (lens[:G] * 8).astype(">u8").view(np.uint8).reshape(G, 8)
-        buf[:G, -8:] = tail
-        words = (buf.view(">u4").astype(np.uint32)  # (lanes, 16*n_blocks)
-                 .reshape(lanes, n_blocks, 16).transpose(1, 2, 0))
-        from ..utils import platform
-
-        unrolled = platform.on_tpu()
-        fn = _BATCH_CACHE.get(unrolled)
-        if fn is None:
-            fn = _BATCH_CACHE[unrolled] = _jit_batch(unrolled)
-        digests = np.asarray(fn(words))[:, :G]  # (8, G) uint32
-        out[np.asarray(idx)] = (
-            np.ascontiguousarray(digests.T).astype(">u4").view(np.uint8).reshape(G, 32))
-    return out
+    if isinstance(items, Tape):
+        return sha256_tape(items)
+    return sha256_tape(Tape.from_strings([bytes(s) for s in items]))
 
 
 def hmac_sha256(key: bytes, message: bytes) -> bytes:

@@ -105,6 +105,10 @@ def lib():
         L.tc_utf8_uncased_find.argtypes = [c_p, c_i64, c_p, c_i64, c_i64,
                                            c_p, c_p, c_p, c_p, c_i64, c_p, c_p]
         L.tc_utf8_uncased_find.restype = ctypes.c_int
+        L.tc_sb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_i64]
+        L.tc_sb_breaks.restype = c_i64
+        L.tc_lb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
+        L.tc_lb_breaks.restype = c_i64
         _lib = L
         return _lib
 
@@ -289,6 +293,35 @@ def utf8_uncased_find(data: np.ndarray, needle_folded: np.ndarray,
         _ptr(np.ascontiguousarray(moffs)), _ptr(np.ascontiguousarray(mvals)),
         len(mkeys), ctypes.byref(off), ctypes.byref(ln))
     return (off.value, ln.value) if hit else (-1, 0)
+
+
+def sb_breaks(data: np.ndarray, sb_table: np.ndarray) -> np.ndarray | None:
+    """UAX-29 sentence-break byte offsets; None when native is absent."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    out = np.empty(n + 1, dtype=np.int64)
+    cnt = L.tc_sb_breaks(_ptr(data), n,
+                         _ptr(np.ascontiguousarray(sb_table, np.uint8)),
+                         _ptr(out), n + 1)
+    return out[:cnt].copy()
+
+
+def lb_breaks(data: np.ndarray, lb_table: np.ndarray):
+    """UAX-14 line-break (offsets, mandatory) arrays; None when absent."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    out = np.empty(n + 1, dtype=np.int64)
+    mand = np.empty(n + 1, dtype=np.uint8)
+    cnt = L.tc_lb_breaks(_ptr(data), n,
+                         _ptr(np.ascontiguousarray(lb_table, np.uint8)),
+                         _ptr(out), _ptr(mand), n + 1)
+    return out[:cnt].copy(), mand[:cnt].astype(bool)
 
 
 def argsort_keys(keys: np.ndarray) -> np.ndarray | None:
