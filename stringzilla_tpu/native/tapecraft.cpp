@@ -169,6 +169,55 @@ void tc_pgram_keys(const uint8_t* data, const int64_t* starts,
     }
 }
 
+// Full-Unicode uncased sort-key export: keys are byte prefixes of the
+// CASE-FOLDED string (progressive fold-on-export, the reference's
+// sz_sequence_argsort_uncased design, include/stringzilla/sort.h:18-22,114)
+// plus a folded-length tiebreak. Malformed UTF-8 decodes as U+FFFD per
+// maximal subpart, giving malformed bytes a defined total order (they sort
+// as the replacement character's bytes EF BF BD). ASCII-only strings skip
+// the decode entirely. `out` shape: [count, words_per_str + 1] u32.
+// Declared below tc_fold_one/tc_decode_one; defined after them.
+static int64_t tc_fold_bytes_into_(const uint8_t* data, int64_t lo, int64_t hi,
+                                   const uint32_t* fold1, const uint32_t* mkeys,
+                                   const int64_t* moffs, const uint32_t* mvals,
+                                   int64_t mcount, std::vector<uint8_t>& buf);
+
+void tc_pgram_keys_unicode(const uint8_t* data, const int64_t* starts,
+                           const int64_t* ends, int64_t count, uint32_t* out,
+                           int64_t words_per_str, int reverse,
+                           const uint32_t* fold1, const uint32_t* mkeys,
+                           const int64_t* moffs, const uint32_t* mvals,
+                           int64_t mcount) {
+    std::vector<uint8_t> scratch;
+    for (int64_t r = 0; r < count; ++r) {
+        int64_t lo = starts[r], hi = ends[r];
+        bool ascii = true;
+        for (int64_t i = lo; i < hi; ++i)
+            if (data[i] >= 0x80) { ascii = false; break; }
+        const uint8_t* src = data + lo;
+        int64_t n = hi - lo;
+        if (!ascii) {
+            scratch.clear();
+            n = tc_fold_bytes_into_(data, lo, hi, fold1, mkeys, moffs, mvals,
+                                    mcount, scratch);
+            src = scratch.data();
+        }
+        uint32_t* row = out + r * (words_per_str + 1);
+        for (int64_t w = 0; w < words_per_str; ++w) {
+            uint32_t key = 0;
+            for (int64_t b = 0; b < 4; ++b) {
+                int64_t i = w * 4 + b;
+                uint32_t byte = i < n ? src[i] : 0;
+                if (ascii && byte >= 'A' && byte <= 'Z') byte += 32;
+                if (reverse) byte = 255u - byte;
+                key = (key << 8) | byte;
+            }
+            row[w] = key;
+        }
+        row[words_per_str] = reverse ? ~(uint32_t)n : (uint32_t)n;
+    }
+}
+
 // 64-bit byte checksum over a tape slice (sz_bytesum analog for host tiers).
 uint64_t tc_bytesum(const uint8_t* data, int64_t n) {
     uint64_t acc = 0;
@@ -323,6 +372,12 @@ int64_t tc_fold_runes(const uint32_t* runes, int64_t count,
             int64_t mid = (lo + hi) >> 1;
             if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
         }
+        if (lo >= mcount || mkeys[lo] != r) {  // caller-table mismatch:
+            out_runes[o] = r;                  // identity fold, no OOB read
+            if (out_src) out_src[o] = k;
+            ++o;
+            continue;
+        }
         for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v) {
             out_runes[o] = mvals[v];
             if (out_src) out_src[o] = k;
@@ -364,10 +419,25 @@ int64_t tc_utf8_fold_bytes(const uint8_t* data, int64_t n,
             int64_t mid = (lo + hi) >> 1;
             if (mkeys[mid] < r) lo = mid + 1; else hi = mid;
         }
+        if (lo >= mcount || mkeys[lo] != r) {  // caller-table mismatch
+            o += tc_encode_one(r, out + o);
+            continue;
+        }
         for (int64_t v = moffs[lo]; v < moffs[lo + 1]; ++v)
             o += tc_encode_one(mvals[v], out + o);
     }
     return o;
+}
+
+// Body of the Unicode-uncased key export's fold step (declared above
+// tc_pgram_keys_unicode): fold [lo, hi) into `buf`, return folded length.
+static int64_t tc_fold_bytes_into_(const uint8_t* data, int64_t lo, int64_t hi,
+                                   const uint32_t* fold1, const uint32_t* mkeys,
+                                   const int64_t* moffs, const uint32_t* mvals,
+                                   int64_t mcount, std::vector<uint8_t>& buf) {
+    buf.resize((size_t)(3 * (hi - lo) + 16));
+    return tc_utf8_fold_bytes(data + lo, hi - lo, fold1, mkeys, moffs, mvals,
+                              mcount, buf.data());
 }
 
 // ---------------------------------------------------------------------------

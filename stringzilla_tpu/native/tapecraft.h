@@ -85,6 +85,17 @@ void tc_pgram_keys(const uint8_t* data, const int64_t* starts,
                    const int64_t* ends, int64_t count, uint32_t* out,
                    int words_per_str, int uncased, int reverse);
 
+/* Uncased sort keys with FULL Unicode case folding during export
+ * (progressive fold-on-export, reference sort.h:18-22): key bytes come from
+ * the folded string (3x expansion bound — size words_per_str accordingly);
+ * malformed UTF-8 orders as U+FFFD (EF BF BD).  Fold tables as above. */
+void tc_pgram_keys_unicode(const uint8_t* data, const int64_t* starts,
+                           const int64_t* ends, int64_t count, uint32_t* out,
+                           int64_t words_per_str, int reverse,
+                           const uint32_t* fold1, const uint32_t* mkeys,
+                           const int64_t* moffs, const uint32_t* mvals,
+                           int64_t mcount);
+
 /* Stable argsort of a dense (n, w) u32 key matrix, column 0 most
  * significant (the layout tc_pgram_keys emits): MSD counting pass on the
  * top 16 bits + per-bucket introsort over the full rows.  Writes the

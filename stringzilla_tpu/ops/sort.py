@@ -100,10 +100,30 @@ def argsort_bounds(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                    uncased: bool = False,
                    prefer_device: bool = False) -> np.ndarray:
     """Argsort of string views ``data[starts[i]:ends[i]]`` — zero-copy entry
-    used by ``Strs.order``."""
+    used by ``Strs.order``. ``uncased`` applies FULL Unicode case folding
+    when the buffer contains non-ASCII bytes (``sz_sequence_argsort_uncased``,
+    reference ``sort.h:18-22,114``); pure-ASCII corpora keep the cheap
+    in-register A-Z fold."""
     if len(starts) == 0:
         return np.zeros(0, dtype=np.int64)
+    data = np.asarray(data)
     maxlen = int((np.asarray(ends) - np.asarray(starts)).max())
+    if uncased and bool((data >= 0x80).any()):
+        # folded bytes can expand up to 3x the raw length
+        words = max(-(-(3 * maxlen) // 4), 2)
+        from .utf8 import _fold_tables
+
+        tabs = _fold_tables()
+        keys = (native.pgram_keys_unicode(data, starts, ends, words, reverse,
+                                          *tabs)
+                if tabs is not None else None)
+        if keys is None:
+            from .utf8 import utf8_fold
+
+            items = [utf8_fold(bytes(data[int(s):int(e)]))
+                     for s, e in zip(starts, ends)]
+            keys = pack_pgram_keys(items, reverse=reverse, uncased=False)
+        return _argsort_keys(keys, top_count, prefer_device=prefer_device)
     words = max(-(-maxlen // 4), 2)
     keys = native.pgram_keys(data, starts, ends, words,
                              uncased=uncased, reverse=reverse)
@@ -120,17 +140,13 @@ def argsort_strings(items: list[bytes], reverse: bool = False,
     """Stable argsort permutation of a list of byte strings."""
     if len(items) == 0:
         return np.zeros(0, dtype=np.int64)
-    if native.available():
-        lens = np.fromiter(map(len, items), dtype=np.int64,
-                           count=len(items))
-        offsets = np.zeros(len(items) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        data = np.frombuffer(b"".join(items), dtype=np.uint8)
-        return argsort_bounds(data, offsets[:-1], offsets[1:], reverse=reverse,
-                              top_count=top_count, uncased=uncased,
-                              prefer_device=prefer_device)
-    keys = pack_pgram_keys(items, reverse=reverse, uncased=uncased)
-    return _argsort_keys(keys, top_count, prefer_device=prefer_device)
+    lens = np.fromiter(map(len, items), dtype=np.int64, count=len(items))
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(items), dtype=np.uint8)
+    return argsort_bounds(data, offsets[:-1], offsets[1:], reverse=reverse,
+                          top_count=top_count, uncased=uncased,
+                          prefer_device=prefer_device)
 
 
 def argsort_tape(tape, **kwargs) -> np.ndarray:

@@ -105,6 +105,9 @@ def lib():
         L.tc_utf8_uncased_find.argtypes = [c_p, c_i64, c_p, c_i64, c_i64,
                                            c_p, c_p, c_p, c_p, c_i64, c_p, c_p]
         L.tc_utf8_uncased_find.restype = ctypes.c_int
+        L.tc_pgram_keys_unicode.argtypes = [c_p, c_p, c_p, c_i64, c_p, c_i64,
+                                            ctypes.c_int, c_p, c_p, c_p, c_p,
+                                            c_i64]
         L.tc_sb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_i64]
         L.tc_sb_breaks.restype = c_i64
         L.tc_lb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
@@ -342,7 +345,8 @@ def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                reverse: bool = False) -> np.ndarray | None:
     """Per-string sort keys: big-endian u32 pgrams + length tiebreak,
     shape (count, words_per_str + 1) uint32. None when native is absent
-    (caller falls back to the numpy packer in ops.sort)."""
+    (caller falls back to the numpy packer in ops.sort). ``uncased`` folds
+    ASCII only — use :func:`pgram_keys_unicode` for full-Unicode folding."""
     count = len(starts)
     L = lib()
     if L is None:
@@ -352,4 +356,28 @@ def pgram_keys(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                     _ptr(np.ascontiguousarray(starts, dtype=np.int64)),
                     _ptr(np.ascontiguousarray(ends, dtype=np.int64)),
                     count, _ptr(out), words_per_str, int(uncased), int(reverse))
+    return out
+
+
+def pgram_keys_unicode(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                       words_per_str: int, reverse: bool, fold1, mkeys,
+                       moffs, mvals) -> np.ndarray | None:
+    """Uncased sort keys with full Unicode case folding during export
+    (``sz_sequence_argsort_uncased``, reference ``sort.h:18-22``): key bytes
+    come from the progressively folded string; malformed UTF-8 orders as
+    U+FFFD. None when native is absent."""
+    count = len(starts)
+    L = lib()
+    if L is None:
+        return None
+    out = np.empty((count, words_per_str + 1), dtype=np.uint32)
+    L.tc_pgram_keys_unicode(
+        _ptr(np.ascontiguousarray(data)),
+        _ptr(np.ascontiguousarray(starts, dtype=np.int64)),
+        _ptr(np.ascontiguousarray(ends, dtype=np.int64)),
+        count, _ptr(out), words_per_str, int(reverse),
+        _ptr(np.ascontiguousarray(fold1)),
+        _ptr(np.ascontiguousarray(mkeys)),
+        _ptr(np.ascontiguousarray(moffs)),
+        _ptr(np.ascontiguousarray(mvals)), len(mkeys))
     return out

@@ -92,6 +92,32 @@ def test_argsort_uncased_and_topk():
     assert [mixed[i] for i in top] == sorted(mixed)[:2]
 
 
+def test_argsort_uncased_full_unicode(rng):
+    """Full-Unicode fold-on-export ordering (reference sort.h:18-22,114):
+    differential vs a stable sort on the casefolded decoded string, with
+    malformed UTF-8 ordering as U+FFFD."""
+    pool = ["Straße", "STRASSE", "straße", "ﬃn", "FFI", "ffi", "Ωμέγα",
+            "ωμεγα", "İstanbul", "istanbul", "ĿL", "l·l", "ΣΊΣΥΦΟΣ",
+            "σίσυφος", "apple", "Apple", "Ꮳherokee", "ꮳherokee", ""]
+    items = [w.encode() for w in pool]
+    items += [bytes(rng.integers(0x20, 0x7F, rng.integers(0, 12),
+                                 dtype=np.uint8)) for _ in range(40)]
+    items += [b"\xff\xfe raw", b"ok \xc3", "mixß\xc4".encode()[:-1]]
+
+    def fold_key(s: bytes) -> bytes:
+        return s.decode("utf-8", errors="replace").casefold().encode()
+
+    oracle = sorted(range(len(items)), key=lambda i: fold_key(items[i]))
+    perm = argsort_strings(items, uncased=True)
+    assert list(perm) == oracle
+    rperm = argsort_strings(items, uncased=True, reverse=True)
+    roracle = sorted(range(len(items)),
+                     key=lambda i: fold_key(items[i]), reverse=True)
+    # descending with stable original-index ties: group by key
+    assert [fold_key(items[i]) for i in rperm] == \
+           [fold_key(items[i]) for i in roracle]
+
+
 def test_file_mmap(tmp_path):
     p = tmp_path / "f.txt"
     data = b"memory mapped haystack with needle inside"
