@@ -153,6 +153,92 @@ def bench_sha256(rng):
     emit("sha256_tokens", N / dt / 1e6, "Mtokens/s", 1.0)
 
 
+def bench_crypto_e2e(rng):
+    """Honest host-bytes-in rows for the hashing pipelines: a tape (blob +
+    offsets) of ~8-byte tokens in host memory, digests back in host memory.
+    Production tier is the native (AES-NI / SHA-NI) host runtime — hashing
+    is compute-light enough that crossing to the device only pays for data
+    already resident in HBM (those kernel rates are the ``hash_tokens`` /
+    ``sha256_tokens`` rows)."""
+    from stringzilla_tpu.ops.sha256 import sha256_batch
+    from stringzilla_tpu.ops.tape import Tape
+
+    N = 1 << 20
+    lens = rng.integers(4, 13, N)
+    blob = rng.integers(97, 123, int(lens.sum()), dtype=np.uint8)
+    offsets = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    tape = Tape(data=blob, offsets=offsets)
+
+    from stringzilla_tpu.utils import native
+
+    out = None
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = native.hash_tape(blob, offsets, 0)
+        best = min(best, time.perf_counter() - t0)
+    if out is not None:
+        emit("hash_tokens_e2e", N / best / 1e6, "Mtokens/s", 1.0)
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dig = sha256_batch(tape)
+        best = min(best, time.perf_counter() - t0)
+    assert dig.shape == (N, 32)
+    emit("sha256_tokens_e2e", N / best / 1e6, "Mtokens/s", 1.0)
+
+    # document scale: 1000 × 100 KB
+    M, L = 1000, 100_000
+    dblob = rng.integers(0, 256, M * L).astype(np.uint8)
+    doffs = (np.arange(M + 1, dtype=np.int64) * L)
+    from stringzilla_tpu.utils import native
+
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native.hash_tape(dblob, doffs, 0)
+        best = min(best, time.perf_counter() - t0)
+    emit("hash_docs_e2e", M * L / best / 1e9, "GB/s", 1.0)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sha256_batch(Tape(data=dblob, offsets=doffs))
+        best = min(best, time.perf_counter() - t0)
+    emit("sha256_docs_e2e", M * L / best / 1e9, "GB/s", 1.0)
+
+
+def bench_segmentation(rng):
+    """UAX-29/14 segmentation GB/s on a mostly-ASCII English-like corpus
+    (the reference's headline is 10-70× ICU; ICU's band is 0.02-0.3 GB/s,
+    reference README.md:24). Baseline = ICU's upper band 0.3 GB/s."""
+    from stringzilla_tpu.ops import segment
+
+    words = [b"the", b"of", b"and", b"history", b"information", b"people",
+             b"science", "école".encode(), "straße".encode(), "日本".encode()]
+    probs = np.array([8, 5, 5, 2, 2, 2, 2, 0.05, 0.05, 0.02])
+    probs /= probs.sum()
+    idx = rng.choice(len(words), 2_000_000, p=probs)
+    parts = []
+    for k, i in enumerate(idx):
+        parts.append(words[i])
+        parts.append(b". " if k % 17 == 16 else b" ")
+    corpus = b"".join(parts)
+    n = len(corpus)
+
+    for name, fn in [("word_breaks", segment.word_breaks),
+                     ("grapheme_breaks", segment.grapheme_breaks),
+                     ("sentence_breaks", segment.sentence_breaks),
+                     ("line_breaks", segment.line_breaks)]:
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(corpus)
+            best = min(best, time.perf_counter() - t0)
+        emit(name, n / best / 1e9, "GB/s", 0.3)
+
+
 def bench_argsort(rng):
     from stringzilla_tpu.ops.sort import argsort_strings
 
@@ -296,6 +382,8 @@ BENCHES = {
     "fill_random": bench_fill_random,
     "hash_tokens": bench_hash_tokens,
     "sha256": bench_sha256,
+    "crypto_e2e": bench_crypto_e2e,
+    "segmentation": bench_segmentation,
     "argsort": bench_argsort,
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,

@@ -74,7 +74,9 @@ while time.time() < t_end:
             import hashlib
             msgs = [bytes(rng.integers(0, 256, int(l)).astype(np.uint8))
                     for l in rng.integers(0, 200, int(rng.integers(1, 300)))]
-            dig = sz.ops.sha256.sha256_batch(msgs)
+            from stringzilla_tpu.ops.sha256 import sha256_tape
+            from stringzilla_tpu.ops.tape import Tape
+            dig = sha256_tape(Tape.from_strings(msgs))
             for i in rng.choice(len(msgs), min(5, len(msgs)), replace=False):
                 assert bytes(dig[int(i)]) == hashlib.sha256(msgs[int(i)]).digest(), ("SHA", seed, int(i))
         elif kind == 6:  # wavefront long-pair vs oracle

@@ -164,11 +164,12 @@ def main():
     # --- batched SHA-256 (unrolled TPU tier + multi-block scan tier) ---
     import hashlib
 
-    from stringzilla_tpu.ops.sha256 import sha256_batch
+    from stringzilla_tpu.ops.sha256 import sha256_tape
+    from stringzilla_tpu.ops.tape import Tape
 
     msgs = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
             for n in list(rng.integers(0, 120, 60)) + [600]]
-    dig = sha256_batch(msgs)
+    dig = sha256_tape(Tape.from_strings(msgs))
     check("sha256/device batch", all(
         bytes(dig[i]) == hashlib.sha256(m).digest() for i, m in enumerate(msgs)))
 

@@ -770,10 +770,17 @@ class Strs:
 
     def hashes(self, seed: int = 0) -> np.ndarray:
         """Per-string 64-bit StringZilla hashes, bit-identical to
-        ``sz_hash``. Device-batched for large collections (the
-        ``bench/token.cpp`` workload) — zero-copy: the parent buffer's
-        device mirror is gathered per string bounds, no host re-join;
-        vectorized host AES otherwise."""
+        ``sz_hash``. Host-resident views hash through the native (AES-NI)
+        tier zero-copy over the parent buffer's spans; without the native
+        library, large collections take the device kernel (the parent
+        buffer's HBM mirror gathered per bounds) and the rest vectorized
+        numpy AES."""
+        from ..utils import native
+
+        out = native.hash_bounds(self._parent._buf, self._starts,
+                                 self._ends, seed)
+        if out is not None:
+            return out
         if len(self) >= (1 << 14) and not platform.pallas_interpret():
             from ..ops.hash_pallas import hash_bounds_device
 

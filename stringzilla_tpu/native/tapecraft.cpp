@@ -16,6 +16,16 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#if defined(__AES__) && defined(__SSSE3__)
+#define TC_AESNI 1
+#endif
+#if defined(__SHA__) && defined(__SSE4_1__)
+#define TC_SHANI 1
+#endif
+#endif
+
 extern "C" {
 
 // Ragged → dense uint8 matrix. Strings selected by `indices` out of the tape
@@ -1021,6 +1031,362 @@ int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
     return count;
 }
 
-int tc_version(void) { return 5; }
+// ---- 64-bit AES-mixing hash (the reference's sz_hash contract) ----
+//
+// Host-tier production path: same dual-state construction the Python/numpy
+// oracle in ops/hash.py implements from the reference's published spec
+// (README.md:758-814, hash/serial.h:297-599) — an AES lane advanced one
+// AESENC round per 16-byte block plus a shuffle+add u64 "sum" lane, short
+// (<=64 B) 128-bit and long 512-bit 4-lane variants, the final block
+// deferred to finalization.  AES-NI when the build has it; a scalar
+// FIPS-197 round otherwise.  Bit-identical to the golden vectors either
+// way (tests/golden/hash_vectors.json).
+
+static const uint8_t tc_aes_sbox_[256] = {
+    0x63, 0x7c, 0x77, 0x7b, 0xf2, 0x6b, 0x6f, 0xc5, 0x30, 0x01, 0x67, 0x2b,
+    0xfe, 0xd7, 0xab, 0x76, 0xca, 0x82, 0xc9, 0x7d, 0xfa, 0x59, 0x47, 0xf0,
+    0xad, 0xd4, 0xa2, 0xaf, 0x9c, 0xa4, 0x72, 0xc0, 0xb7, 0xfd, 0x93, 0x26,
+    0x36, 0x3f, 0xf7, 0xcc, 0x34, 0xa5, 0xe5, 0xf1, 0x71, 0xd8, 0x31, 0x15,
+    0x04, 0xc7, 0x23, 0xc3, 0x18, 0x96, 0x05, 0x9a, 0x07, 0x12, 0x80, 0xe2,
+    0xeb, 0x27, 0xb2, 0x75, 0x09, 0x83, 0x2c, 0x1a, 0x1b, 0x6e, 0x5a, 0xa0,
+    0x52, 0x3b, 0xd6, 0xb3, 0x29, 0xe3, 0x2f, 0x84, 0x53, 0xd1, 0x00, 0xed,
+    0x20, 0xfc, 0xb1, 0x5b, 0x6a, 0xcb, 0xbe, 0x39, 0x4a, 0x4c, 0x58, 0xcf,
+    0xd0, 0xef, 0xaa, 0xfb, 0x43, 0x4d, 0x33, 0x85, 0x45, 0xf9, 0x02, 0x7f,
+    0x50, 0x3c, 0x9f, 0xa8, 0x51, 0xa3, 0x40, 0x8f, 0x92, 0x9d, 0x38, 0xf5,
+    0xbc, 0xb6, 0xda, 0x21, 0x10, 0xff, 0xf3, 0xd2, 0xcd, 0x0c, 0x13, 0xec,
+    0x5f, 0x97, 0x44, 0x17, 0xc4, 0xa7, 0x7e, 0x3d, 0x64, 0x5d, 0x19, 0x73,
+    0x60, 0x81, 0x4f, 0xdc, 0x22, 0x2a, 0x90, 0x88, 0x46, 0xee, 0xb8, 0x14,
+    0xde, 0x5e, 0x0b, 0xdb, 0xe0, 0x32, 0x3a, 0x0a, 0x49, 0x06, 0x24, 0x5c,
+    0xc2, 0xd3, 0xac, 0x62, 0x91, 0x95, 0xe4, 0x79, 0xe7, 0xc8, 0x37, 0x6d,
+    0x8d, 0xd5, 0x4e, 0xa9, 0x6c, 0x56, 0xf4, 0xea, 0x65, 0x7a, 0xae, 0x08,
+    0xba, 0x78, 0x25, 0x2e, 0x1c, 0xa6, 0xb4, 0xc6, 0xe8, 0xdd, 0x74, 0x1f,
+    0x4b, 0xbd, 0x8b, 0x8a, 0x70, 0x3e, 0xb5, 0x66, 0x48, 0x03, 0xf6, 0x0e,
+    0x61, 0x35, 0x57, 0xb9, 0x86, 0xc1, 0x1d, 0x9e, 0xe1, 0xf8, 0x98, 0x11,
+    0x69, 0xd9, 0x8e, 0x94, 0x9b, 0x1e, 0x87, 0xe9, 0xce, 0x55, 0x28, 0xdf,
+    0x8c, 0xa1, 0x89, 0x0d, 0xbf, 0xe6, 0x42, 0x68, 0x41, 0x99, 0x2d, 0x0f,
+    0xb0, 0x54, 0xbb, 0x16,
+};
+
+// Sum-lane byte permutation (aHash's, hash/serial.h:220-231).
+static const uint8_t tc_hash_shuf_[16] = {4, 11, 9,  6, 8, 13, 15, 5,
+                                          14, 3, 1, 12, 0, 7,  10, 2};
+
+// 1024 bits of pi (BBP hex digits; public constant, README.md:766-773).
+static const uint64_t tc_hash_pi_[16] = {
+    0x243F6A8885A308D3ull, 0x13198A2E03707344ull, 0xA4093822299F31D0ull,
+    0x082EFA98EC4E6C89ull, 0x452821E638D01377ull, 0xBE5466CF34E90C6Cull,
+    0xC0AC29B7C97C50DDull, 0x3F84D5B5B5470917ull, 0x9216D5D98979FB1Bull,
+    0xD1310BA698DFB5ACull, 0x2FFD72DBD01ADFB7ull, 0xB8E1AFED6A267E96ull,
+    0xBA7C9045F12C7F99ull, 0x24A19947B3916CF7ull, 0x0801F2E2858EFC16ull,
+    0x636920D871574E69ull,
+};
+
+struct tc_b16_ { uint8_t b[16]; };
+
+static inline void tc_aesenc_(tc_b16_& s, const uint8_t* key) {
+#ifdef TC_AESNI
+    __m128i v = _mm_loadu_si128((const __m128i*)s.b);
+    __m128i k = _mm_loadu_si128((const __m128i*)key);
+    _mm_storeu_si128((__m128i*)s.b, _mm_aesenc_si128(v, k));
+#else
+    // SubBytes∘ShiftRows: output byte p takes SBOX[in[(5p) mod 16]].
+    uint8_t t[16];
+    for (int p = 0; p < 16; ++p) t[p] = tc_aes_sbox_[s.b[(5 * p) & 15]];
+    // MixColumns over each 4-byte column, then AddRoundKey.
+    for (int c = 0; c < 4; ++c) {
+        const uint8_t* col = t + 4 * c;
+        uint8_t x = (uint8_t)(col[0] ^ col[1] ^ col[2] ^ col[3]);
+        for (int r = 0; r < 4; ++r) {
+            uint8_t ab = (uint8_t)(col[r] ^ col[(r + 1) & 3]);
+            uint8_t dbl = (uint8_t)((uint8_t)(ab << 1) ^ ((ab >> 7) * 0x1B));
+            s.b[4 * c + r] = (uint8_t)(col[r] ^ x ^ dbl ^ key[4 * c + r]);
+        }
+    }
+#endif
+}
+
+static inline void tc_sumstep_(tc_b16_& s, const uint8_t* data) {
+#ifdef TC_AESNI
+    __m128i v = _mm_loadu_si128((const __m128i*)s.b);
+    __m128i sh = _mm_loadu_si128((const __m128i*)tc_hash_shuf_);
+    __m128i d = _mm_loadu_si128((const __m128i*)data);
+    _mm_storeu_si128((__m128i*)s.b,
+                     _mm_add_epi64(_mm_shuffle_epi8(v, sh), d));
+#else
+    uint8_t t[16];
+    for (int i = 0; i < 16; ++i) t[i] = s.b[tc_hash_shuf_[i]];
+    uint64_t a0, a1, d0, d1;
+    std::memcpy(&a0, t, 8);
+    std::memcpy(&a1, t + 8, 8);
+    std::memcpy(&d0, data, 8);
+    std::memcpy(&d1, data + 8, 8);
+    a0 += d0;
+    a1 += d1;
+    std::memcpy(s.b, &a0, 8);
+    std::memcpy(s.b + 8, &a1, 8);
+#endif
+}
+
+static inline tc_b16_ tc_u64x2_(uint64_t lo, uint64_t hi) {
+    tc_b16_ r;
+    std::memcpy(r.b, &lo, 8);
+    std::memcpy(r.b + 8, &hi, 8);
+    return r;
+}
+
+static inline uint64_t tc_lo64_(const tc_b16_& s) {
+    uint64_t v;
+    std::memcpy(&v, s.b, 8);
+    return v;
+}
+
+uint64_t tc_hash(const uint8_t* data, int64_t n, uint64_t seed) {
+    tc_b16_ kwl = tc_u64x2_(seed + (uint64_t)n, seed);
+    if (n <= 64) {
+        tc_b16_ aes = tc_u64x2_(seed ^ tc_hash_pi_[0], seed ^ tc_hash_pi_[1]);
+        tc_b16_ sum = tc_u64x2_(seed ^ tc_hash_pi_[8], seed ^ tc_hash_pi_[9]);
+        uint8_t padded[64] = {0};
+        if (n > 0) std::memcpy(padded, data, (size_t)n);
+        int nb = n <= 16 ? 1 : (int)((n + 15) / 16);
+        for (int b = 0; b < nb; ++b) {
+            tc_aesenc_(aes, padded + 16 * b);
+            tc_sumstep_(sum, padded + 16 * b);
+        }
+        tc_b16_ mixed = sum;
+        tc_aesenc_(mixed, aes.b);
+        tc_b16_ r = mixed;
+        tc_aesenc_(r, kwl.b);
+        tc_aesenc_(r, mixed.b);
+        return tc_lo64_(r);
+    }
+    tc_b16_ aes[4], sum[4];
+    for (int l = 0; l < 4; ++l) {
+        aes[l] = tc_u64x2_(seed ^ tc_hash_pi_[2 * l],
+                           seed ^ tc_hash_pi_[2 * l + 1]);
+        sum[l] = tc_u64x2_(seed ^ tc_hash_pi_[8 + 2 * l],
+                           seed ^ tc_hash_pi_[9 + 2 * l]);
+    }
+    int64_t off = 0;
+    while (off + 64 < n) {  // final (possibly full) block deferred
+        for (int l = 0; l < 4; ++l) {
+            tc_aesenc_(aes[l], data + off + 16 * l);
+            tc_sumstep_(sum[l], data + off + 16 * l);
+        }
+        off += 64;
+    }
+    uint8_t ins[64] = {0};
+    std::memcpy(ins, data + off, (size_t)(n - off));
+    tc_b16_ mixed[4];
+    for (int l = 0; l < 4; ++l) {
+        tc_aesenc_(aes[l], ins + 16 * l);
+        tc_sumstep_(sum[l], ins + 16 * l);
+        mixed[l] = sum[l];
+        tc_aesenc_(mixed[l], aes[l].b);
+    }
+    tc_aesenc_(mixed[0], mixed[1].b);
+    tc_aesenc_(mixed[2], mixed[3].b);
+    tc_aesenc_(mixed[0], mixed[2].b);
+    tc_b16_ r = mixed[0];
+    tc_aesenc_(r, kwl.b);
+    tc_aesenc_(r, mixed[0].b);
+    return tc_lo64_(r);
+}
+
+// One hash per tape entry (the host-bytes-in batch path of the hashing
+// engines; device tier is only worth the link crossing for resident data).
+void tc_hash_batch(const uint8_t* data, const int64_t* offsets, int64_t count,
+                   uint64_t seed, uint64_t* out) {
+    for (int64_t i = 0; i < count; ++i)
+        out[i] = tc_hash(data + offsets[i], offsets[i + 1] - offsets[i], seed);
+}
+
+// Hashes over (start, end) spans of one buffer — the zero-copy Strs path:
+// spans may overlap or sit in any order, so no offsets discipline.
+void tc_hash_bounds(const uint8_t* data, const int64_t* starts,
+                    const int64_t* ends, int64_t count, uint64_t seed,
+                    uint64_t* out) {
+    for (int64_t i = 0; i < count; ++i)
+        out[i] = tc_hash(data + starts[i], ends[i] - starts[i], seed);
+}
+
+// AES-CTR pseudo-random fill (sz_fill_random, hash/serial.h:953-968):
+// block i encrypts [nonce+i, nonce+i] under key nonce^PI[2(i%4) .. +1].
+void tc_fill_random(uint8_t* out, int64_t n, uint64_t nonce) {
+    int64_t nb = (n + 15) / 16;
+    for (int64_t i = 0; i < nb; ++i) {
+        uint64_t ctr = nonce + (uint64_t)i;
+        tc_b16_ blk = tc_u64x2_(ctr, ctr);
+        int pi = (int)(i & 3) * 2;
+        tc_b16_ key = tc_u64x2_(nonce ^ tc_hash_pi_[pi],
+                                nonce ^ tc_hash_pi_[pi + 1]);
+        tc_aesenc_(blk, key.b);
+        int64_t take = n - 16 * i < 16 ? n - 16 * i : 16;
+        std::memcpy(out + 16 * i, blk.b, (size_t)take);
+    }
+}
+
+// ---- SHA-256 (FIPS 180-4) ----
+//
+// Same derivation discipline as ops/sha256.py: H0/K computed from integer
+// square/cube roots of the first primes at first use, not pasted.  SHA-NI
+// two-rounds-at-a-time when available, scalar compression otherwise.
+
+static uint32_t tc_sha_h0_[8];
+static uint32_t tc_sha_k_[64];
+static bool tc_sha_ready_ = false;
+
+static uint64_t tc_iroot_(unsigned __int128 x, int k) {
+    uint64_t lo = 0, hi = (uint64_t)1 << 42;
+    while (lo + 1 < hi) {  // floor k-th root by binary search
+        uint64_t mid = lo + (hi - lo) / 2;
+        unsigned __int128 p = 1;
+        bool over = false;
+        for (int i = 0; i < k; ++i) {
+            p *= mid;
+            if (p > x) { over = true; break; }
+        }
+        if (over) hi = mid; else lo = mid;
+    }
+    return lo;
+}
+
+static void tc_sha_init_(void) {
+    if (tc_sha_ready_) return;
+    int primes[64], np = 0;
+    for (int c = 2; np < 64; ++c) {
+        bool ok = true;
+        for (int j = 0; j < np && primes[j] * primes[j] <= c; ++j)
+            if (c % primes[j] == 0) { ok = false; break; }
+        if (ok) primes[np++] = c;
+    }
+    for (int i = 0; i < 8; ++i)
+        tc_sha_h0_[i] = (uint32_t)tc_iroot_(
+            (unsigned __int128)primes[i] << 64, 2);
+    for (int i = 0; i < 64; ++i)
+        tc_sha_k_[i] = (uint32_t)tc_iroot_(
+            (unsigned __int128)primes[i] << 96, 3);
+    tc_sha_ready_ = true;
+}
+
+static inline uint32_t tc_rotr32_(uint32_t x, int r) {
+    return (x >> r) | (x << (32 - r));
+}
+
+static void tc_sha256_block_scalar_(uint32_t st[8], const uint8_t* p) {
+    uint32_t w[64];
+    for (int t = 0; t < 16; ++t)
+        w[t] = ((uint32_t)p[4 * t] << 24) | ((uint32_t)p[4 * t + 1] << 16) |
+               ((uint32_t)p[4 * t + 2] << 8) | p[4 * t + 3];
+    for (int t = 16; t < 64; ++t) {
+        uint32_t s0 = tc_rotr32_(w[t - 15], 7) ^ tc_rotr32_(w[t - 15], 18) ^
+                      (w[t - 15] >> 3);
+        uint32_t s1 = tc_rotr32_(w[t - 2], 17) ^ tc_rotr32_(w[t - 2], 19) ^
+                      (w[t - 2] >> 10);
+        w[t] = w[t - 16] + s0 + w[t - 7] + s1;
+    }
+    uint32_t a = st[0], b = st[1], c = st[2], d = st[3];
+    uint32_t e = st[4], f = st[5], g = st[6], h = st[7];
+    for (int t = 0; t < 64; ++t) {
+        uint32_t S1 = tc_rotr32_(e, 6) ^ tc_rotr32_(e, 11) ^ tc_rotr32_(e, 25);
+        uint32_t ch = (e & f) ^ (~e & g);
+        uint32_t t1 = h + S1 + ch + tc_sha_k_[t] + w[t];
+        uint32_t S0 = tc_rotr32_(a, 2) ^ tc_rotr32_(a, 13) ^ tc_rotr32_(a, 22);
+        uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+        uint32_t t2 = S0 + maj;
+        h = g; g = f; f = e; e = d + t1;
+        d = c; c = b; b = a; a = t1 + t2;
+    }
+    st[0] += a; st[1] += b; st[2] += c; st[3] += d;
+    st[4] += e; st[5] += f; st[6] += g; st[7] += h;
+}
+
+#ifdef TC_SHANI
+static void tc_sha256_blocks_ni_(uint32_t st[8], const uint8_t* p,
+                                 int64_t nblocks) {
+    const __m128i bswap = _mm_set_epi64x(0x0c0d0e0f08090a0bll,
+                                         0x0405060700010203ll);
+    __m128i tmp = _mm_loadu_si128((const __m128i*)&st[0]);
+    __m128i s1 = _mm_loadu_si128((const __m128i*)&st[4]);
+    tmp = _mm_shuffle_epi32(tmp, 0xB1);        // CDAB
+    s1 = _mm_shuffle_epi32(s1, 0x1B);          // EFGH
+    __m128i s0 = _mm_alignr_epi8(tmp, s1, 8);  // ABEF
+    s1 = _mm_blend_epi16(s1, tmp, 0xF0);       // CDGH
+    while (nblocks-- > 0) {
+        __m128i save0 = s0, save1 = s1, w[4];
+        for (int g = 0; g < 4; ++g) {
+            w[g] = _mm_shuffle_epi8(
+                _mm_loadu_si128((const __m128i*)(p + 16 * g)), bswap);
+            __m128i wk = _mm_add_epi32(
+                w[g], _mm_loadu_si128((const __m128i*)&tc_sha_k_[4 * g]));
+            s1 = _mm_sha256rnds2_epu32(s1, s0, wk);
+            s0 = _mm_sha256rnds2_epu32(s0, s1, _mm_shuffle_epi32(wk, 0x0E));
+        }
+        for (int g = 4; g < 16; ++g) {
+            __m128i sig0 = _mm_sha256msg1_epu32(w[(g - 4) & 3], w[(g - 3) & 3]);
+            __m128i t = _mm_alignr_epi8(w[(g - 1) & 3], w[(g - 2) & 3], 4);
+            w[g & 3] = _mm_sha256msg2_epu32(_mm_add_epi32(sig0, t),
+                                            w[(g - 1) & 3]);
+            __m128i wk = _mm_add_epi32(
+                w[g & 3], _mm_loadu_si128((const __m128i*)&tc_sha_k_[4 * g]));
+            s1 = _mm_sha256rnds2_epu32(s1, s0, wk);
+            s0 = _mm_sha256rnds2_epu32(s0, s1, _mm_shuffle_epi32(wk, 0x0E));
+        }
+        s0 = _mm_add_epi32(s0, save0);
+        s1 = _mm_add_epi32(s1, save1);
+        p += 64;
+    }
+    tmp = _mm_shuffle_epi32(s0, 0x1B);       // FEBA
+    s1 = _mm_shuffle_epi32(s1, 0xB1);        // DCHG
+    s0 = _mm_blend_epi16(tmp, s1, 0xF0);     // DCBA
+    s1 = _mm_alignr_epi8(s1, tmp, 8);        // HGFE → EFGH order for store
+    _mm_storeu_si128((__m128i*)&st[0], s0);
+    _mm_storeu_si128((__m128i*)&st[4], s1);
+}
+#endif
+
+// One 64-byte compression block (exported so a streaming FFI consumer can
+// keep its own state struct; `state` is 8 u32 words, updated in place).
+void tc_sha256_compress(uint32_t* state, const uint8_t* block,
+                        int64_t nblocks) {
+    tc_sha_init_();
+#ifdef TC_SHANI
+    tc_sha256_blocks_ni_(state, block, nblocks);
+#else
+    for (int64_t i = 0; i < nblocks; ++i)
+        tc_sha256_block_scalar_(state, block + 64 * i);
+#endif
+}
+
+void tc_sha256(const uint8_t* data, int64_t n, uint8_t* out32) {
+    tc_sha_init_();
+    uint32_t st[8];
+    std::memcpy(st, tc_sha_h0_, sizeof(st));
+    int64_t full = n / 64;
+    if (full) tc_sha256_compress(st, data, full);
+    uint8_t tail[128] = {0};
+    int64_t rem = n - 64 * full;
+    std::memcpy(tail, data + 64 * full, (size_t)rem);
+    tail[rem] = 0x80;
+    int64_t tlen = rem + 1 + 8 <= 64 ? 64 : 128;
+    uint64_t bits = (uint64_t)n * 8;
+    for (int i = 0; i < 8; ++i)
+        tail[tlen - 1 - i] = (uint8_t)(bits >> (8 * i));
+    tc_sha256_compress(st, tail, tlen / 64);
+    for (int i = 0; i < 8; ++i) {
+        out32[4 * i] = (uint8_t)(st[i] >> 24);
+        out32[4 * i + 1] = (uint8_t)(st[i] >> 16);
+        out32[4 * i + 2] = (uint8_t)(st[i] >> 8);
+        out32[4 * i + 3] = (uint8_t)st[i];
+    }
+}
+
+void tc_sha256_batch(const uint8_t* data, const int64_t* offsets,
+                     int64_t count, uint8_t* out) {
+    for (int64_t i = 0; i < count; ++i)
+        tc_sha256(data + offsets[i], offsets[i + 1] - offsets[i],
+                  out + 32 * i);
+}
+
+int tc_version(void) { return 6; }
 
 }  // extern "C"

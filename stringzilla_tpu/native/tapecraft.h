@@ -103,9 +103,36 @@ void tc_pgram_keys_unicode(const uint8_t* data, const int64_t* starts,
 void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
                      int64_t* order);
 
-/* ---- checksums ---- */
+/* ---- checksums & hashing ---- */
 
 uint64_t tc_bytesum(const uint8_t* data, int64_t n);
+
+/* 64-bit seeded AES-mixing hash, bit-identical to the reference's sz_hash
+ * contract (hash.h:139; golden-vector-tested).  AES-NI when compiled in,
+ * scalar FIPS-197 rounds otherwise — same bits either way. */
+uint64_t tc_hash(const uint8_t* data, int64_t n, uint64_t seed);
+
+/* One hash per tape entry: out[count] u64. */
+void tc_hash_batch(const uint8_t* data, const int64_t* offsets, int64_t count,
+                   uint64_t seed, uint64_t* out);
+
+/* One hash per (start, end) span of a shared buffer (spans may overlap). */
+void tc_hash_bounds(const uint8_t* data, const int64_t* starts,
+                    const int64_t* ends, int64_t count, uint64_t seed,
+                    uint64_t* out);
+
+/* AES-CTR pseudo-random fill, reproducible per nonce across backends
+ * (sz_fill_random, hash/serial.h:953-968). */
+void tc_fill_random(uint8_t* out, int64_t n, uint64_t nonce);
+
+/* FIPS 180-4 SHA-256.  `state` for the streaming compressor is 8 u32 words
+ * (init to the H0 of §5.3.3), updated in place over `nblocks` 64-byte
+ * blocks; one-shot/batch do padding + length scheduling internally. */
+void tc_sha256_compress(uint32_t* state, const uint8_t* block,
+                        int64_t nblocks);
+void tc_sha256(const uint8_t* data, int64_t n, uint8_t* out32);
+void tc_sha256_batch(const uint8_t* data, const int64_t* offsets,
+                     int64_t count, uint8_t* out);
 
 /* ---- UTF-8 ---- */
 

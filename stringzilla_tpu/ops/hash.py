@@ -134,6 +134,11 @@ def sz_hash(data: bytes, seed: int = 0) -> int:
     """64-bit seeded hash, bit-identical to ``sz_hash`` (reference
     ``hash.h:139``; serial path ``hash/serial.h:506-599``)."""
     data = bytes(data)
+    from ..utils import native
+
+    h = native.hash_one(np.frombuffer(data, dtype=np.uint8), seed)
+    if h is not None:
+        return h
     length = len(data)
     buf = np.frombuffer(data, dtype=np.uint8)
     if length <= 64:
@@ -196,6 +201,11 @@ def hash_multiseed(data: bytes, seeds) -> np.ndarray:
     data = bytes(data)
     length = len(data)
     buf = np.frombuffer(data, dtype=np.uint8)
+    from ..utils import native
+
+    if native.lib() is not None:
+        return np.array([native.hash_one(buf, int(s)) for s in seeds],
+                        dtype=np.uint64)
     with np.errstate(over="ignore"):
         if length <= 64:
             aes = _seed_blocks(seeds, PI[0], PI[1])
@@ -240,6 +250,14 @@ def hash_batch(items, seed: int = 0) -> np.ndarray:
     block count advance through the AES pipeline together (the batch analog
     of the reference's per-call kernel; bit-identical outputs)."""
     items = [bytes(s) for s in items]
+    from ..utils import native
+
+    if native.lib() is not None:
+        offsets = np.zeros(len(items) + 1, dtype=np.int64)
+        if items:
+            np.cumsum([len(s) for s in items], out=offsets[1:])
+        blob = np.frombuffer(b"".join(items), dtype=np.uint8)
+        return native.hash_tape(blob, offsets, seed)
     out = np.zeros(len(items), dtype=np.uint64)
     short_groups: dict[int, list[int]] = {}
     for i, s in enumerate(items):
@@ -284,6 +302,11 @@ def fill_random(length: int, nonce: int = 0) -> bytes:
     vectorized pass."""
     if length <= 0:
         return b""
+    from ..utils import native
+
+    r = native.fill_random(length, nonce)
+    if r is not None:
+        return r
     n_blocks = -(-length // 16)
     lanes = np.arange(n_blocks, dtype=np.uint64)
     with np.errstate(over="ignore"):

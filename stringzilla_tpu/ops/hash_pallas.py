@@ -358,10 +358,22 @@ def _build_long_tape(ncm: int, n_lanes: int, lanes_block: int, interpret: bool):
                               transpose=True)
         fin = pack_on_device(blob, offs + chunks * 64, lens - chunks * 64,
                              row_len=64, transpose=True)
-        return call(data, fin, lens.reshape(1, -1), chunks.reshape(1, -1),
-                    seed, sbox, pi8)
+        out = call(data, fin, lens.reshape(1, -1), chunks.reshape(1, -1),
+                   seed, sbox, pi8)
+        return _pack_u64_words(out)
 
     return jax.jit(run)
+
+
+def _pack_u64_words(out):
+    """Collapse the kernel's 16 byte-plane rows to the 8-byte digest on
+    device — (2, L) int32 (lo/hi u32 words) — so the host pull is 8 B/token
+    instead of 64 (the tunnel D2H is the end-to-end bottleneck)."""
+    b = out[:8].astype(jnp.uint32) & jnp.uint32(0xFF)
+    sh = jnp.array([0, 8, 16, 24], jnp.uint32)
+    lo = (b[0:4] << sh[:, None]).sum(0, dtype=jnp.uint32)
+    hi = (b[4:8] << sh[:, None]).sum(0, dtype=jnp.uint32)
+    return jnp.stack([lo, hi]).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -374,7 +386,7 @@ def _build_short_tape(n_blocks: int, n_lanes: int, interpret: bool):
     def run(blob, offs, lens, seed, sbox, pib):
         data = pack_on_device(blob, offs, lens, row_len=16 * n_blocks,
                               transpose=True)
-        return call(data, lens.reshape(1, -1), seed, sbox, pib)
+        return _pack_u64_words(call(data, lens.reshape(1, -1), seed, sbox, pib))
 
     return jax.jit(run)
 
@@ -385,7 +397,8 @@ def hash_long_device(items: list[bytes], seed: int, ncm: int) -> np.ndarray:
     from .tape import Tape
 
     dt = _as_device_tape(Tape.from_strings(items))
-    return _hash_long_bucket(dt, np.arange(len(items)), seed, ncm)
+    out = np.asarray(_hash_long_bucket(dt, np.arange(len(items)), seed, ncm))
+    return _u64_from_u32_pair(out, len(items))
 
 
 def _as_device_tape(tape):
@@ -394,7 +407,17 @@ def _as_device_tape(tape):
     return device_tape(tape)
 
 
+def _u64_from_u32_pair(out: np.ndarray, n: int) -> np.ndarray:
+    """(2, L) int32 device pull → u64[n] (lo word row 0, hi word row 1)."""
+    lo = out[0, :n].astype(np.uint32).astype(np.uint64)
+    hi = out[1, :n].astype(np.uint32).astype(np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
 def _hash_long_bucket(dt, idx, seed: int, ncm: int):
+    """Enqueue one long-bucket device program; returns ``(n, device_out)``
+    — the caller pulls after ALL buckets are enqueued (one in-order queue,
+    pulls overlap nothing but each pull is only 8 B/token)."""
     n = len(idx)
     cb = min(ncm, LONG_CHUNK_BLOCK)
     lanes_block = _pick_long_lanes(cb)
@@ -403,11 +426,8 @@ def _hash_long_bucket(dt, idx, seed: int, ncm: int):
     chunks = jnp.maximum(lens - 1, 0) // 64
     seed_arr, pi8 = _seed_planes(seed)
     call = _build_long_tape(ncm, total, lanes_block, platform.pallas_interpret())
-    out = np.asarray(call(dt.data, offs, lens, chunks, jnp.asarray(seed_arr),
-                          jnp.asarray(_SBOX_LANES), jnp.asarray(pi8)))
-    b = out[:8, :n].astype(np.uint64)
-    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
-    return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
+    return call(dt.data, offs, lens, chunks, jnp.asarray(seed_arr),
+                jnp.asarray(_SBOX_LANES), jnp.asarray(pi8))
 
 
 def _hash_short_bucket(dt, idx, seed: int, n_blocks: int):
@@ -422,11 +442,8 @@ def _hash_short_bucket(dt, idx, seed: int, n_blocks: int):
         sum_pair = (np.uint64(seed) ^ PI[8:10]).astype("<u8").view(np.uint8)
     pib = np.stack([aes_pair, sum_pair], axis=1).astype(np.int32)
     call = _build_short_tape(n_blocks, total, platform.pallas_interpret())
-    out = np.asarray(call(dt.data, offs, lens, jnp.asarray(seed_arr),
-                          jnp.asarray(_SBOX_LANES), jnp.asarray(pib)))
-    b = out[:8, :n].astype(np.uint64)
-    shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
-    return np.bitwise_or.reduce(b << shifts[:, None], axis=0)
+    return call(dt.data, offs, lens, jnp.asarray(seed_arr),
+                jnp.asarray(_SBOX_LANES), jnp.asarray(pib))
 
 
 # Streaming long path: strings up to 2 MiB run on device (32-chunk VMEM
@@ -488,8 +505,8 @@ def _hash_tape_core(dt, seed: int, get_bytes) -> np.ndarray:
     for ncm in np.unique(ncm_long[long_mask]):
         idx = np.nonzero(long_mask & (ncm_long == ncm))[0]
         pending.append((idx, _hash_long_bucket(dt, idx, seed, int(ncm))))
-    for idx, vals in pending:
-        out[idx] = vals
+    for idx, dev in pending:  # all buckets enqueued before the first pull
+        out[idx] = _u64_from_u32_pair(np.asarray(dev), len(idx))
     for i in huge:
         out[i] = sz_hash(get_bytes(int(i)), seed)
     return out

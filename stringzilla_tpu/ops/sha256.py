@@ -80,6 +80,20 @@ def _compress_np(state: np.ndarray, block: bytes | np.ndarray) -> np.ndarray:
         return state + np.array([a, b, c, d, e, f, g, h], dtype=np.uint32)
 
 
+def _compress_many(state: np.ndarray, buf: bytes) -> np.ndarray:
+    """All full 64-byte blocks of ``buf`` through the compressor — native
+    (SHA-NI / scalar C++) when the host library is available, numpy rounds
+    otherwise. Returns the NEW state; never mutates the argument."""
+    from ..utils import native
+
+    st = state.copy()
+    if native.sha256_compress(st, np.frombuffer(buf, dtype=np.uint8)):
+        return st
+    for i in range(len(buf) // 64):
+        state = _compress_np(state, buf[i * 64 : (i + 1) * 64])
+    return state
+
+
 class Sha256:
     """Streaming SHA-256 (``sz_sha256_state_init/update/digest``, reference
     ``hash.h:283-300``) — own FIPS 180-4 implementation, no hashlib."""
@@ -96,8 +110,8 @@ class Sha256:
         self._length += len(data)
         buf = self._buffer + data
         n_full = len(buf) // 64
-        for i in range(n_full):
-            self._state = _compress_np(self._state, buf[i * 64 : (i + 1) * 64])
+        if n_full:
+            self._state = _compress_many(self._state, buf[: n_full * 64])
         self._buffer = buf[n_full * 64 :]
         return self
 
@@ -112,16 +126,17 @@ class Sha256:
         state, buf = self._state, self._buffer
         pad = b"\x80" + b"\x00" * ((55 - self._length) % 64)
         tail = buf + pad + (self._length * 8).to_bytes(8, "big")
-        for i in range(len(tail) // 64):
-            state = _compress_np(state, tail[i * 64 : (i + 1) * 64])
-        return state.astype(">u4").tobytes()
+        return _compress_many(state, tail).astype(">u4").tobytes()
 
     def hexdigest(self) -> str:
         return self.digest().hex()
 
 
 def sha256(data: bytes) -> bytes:
-    return Sha256(data).digest()
+    from ..utils import native
+
+    d = native.sha256_one(np.frombuffer(bytes(data), dtype=np.uint8))
+    return d if d is not None else Sha256(data).digest()
 
 
 # ---------------------------------------------------------------------------
@@ -296,12 +311,23 @@ def sha256_batch(items) -> np.ndarray:
     """SHA-256 digests of a collection, shape ``(n, 32) uint8``. Messages
     are grouped by padded block count; each group's gather + FIPS padding +
     rounds run as one device program across the lane axis (the TPU analog
-    of the reference's thread-pool batch hashing in ``szs``)."""
+    of the reference's thread-pool batch hashing in ``szs``).
+
+    Dispatch: host-resident bytes go through the native (SHA-NI) host tier
+    when the library is built — hashing is compute-light enough that the
+    link crossing only pays off for data already living in HBM; a
+    device-array tape (or no native toolchain) takes the device kernel via
+    :func:`sha256_tape`."""
+    from ..utils import native
     from .tape import Tape
 
-    if isinstance(items, Tape):
-        return sha256_tape(items)
-    return sha256_tape(Tape.from_strings([bytes(s) for s in items]))
+    tape = items if isinstance(items, Tape) else Tape.from_strings(
+        [bytes(s) for s in items])
+    if isinstance(tape.data, np.ndarray):
+        out = native.sha256_tape(tape.data, tape.offsets)
+        if out is not None:
+            return out
+    return sha256_tape(tape)
 
 
 def hmac_sha256(key: bytes, message: bytes) -> bytes:

@@ -92,6 +92,14 @@ def lib():
         L.tc_argsort_keys.argtypes = [c_p, c_i64, ctypes.c_int32, c_p]
         L.tc_bytesum.argtypes = [c_p, c_i64]
         L.tc_bytesum.restype = ctypes.c_uint64
+        L.tc_hash.argtypes = [c_p, c_i64, ctypes.c_uint64]
+        L.tc_hash.restype = ctypes.c_uint64
+        L.tc_hash_batch.argtypes = [c_p, c_p, c_i64, ctypes.c_uint64, c_p]
+        L.tc_hash_bounds.argtypes = [c_p, c_p, c_p, c_i64, ctypes.c_uint64, c_p]
+        L.tc_fill_random.argtypes = [c_p, c_i64, ctypes.c_uint64]
+        L.tc_sha256_compress.argtypes = [c_p, c_p, c_i64]
+        L.tc_sha256.argtypes = [c_p, c_i64, c_p]
+        L.tc_sha256_batch.argtypes = [c_p, c_p, c_i64, c_p]
         L.tc_utf8_decode.argtypes = [c_p, c_i64, c_p, c_p]
         L.tc_utf8_decode.restype = c_i64
         L.tc_utf8_encode.argtypes = [c_p, c_i64, c_p]
@@ -296,6 +304,89 @@ def utf8_uncased_find(data: np.ndarray, needle_folded: np.ndarray,
         _ptr(np.ascontiguousarray(moffs)), _ptr(np.ascontiguousarray(mvals)),
         len(mkeys), ctypes.byref(off), ctypes.byref(ln))
     return (off.value, ln.value) if hit else (-1, 0)
+
+
+def hash_one(data: np.ndarray, seed: int) -> int | None:
+    """Native sz_hash of one buffer; None when the library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    return int(L.tc_hash(_ptr(data) if data.size else None, data.shape[0],
+                         ctypes.c_uint64(seed)))
+
+
+def hash_tape(data: np.ndarray, offsets: np.ndarray, seed: int):
+    """Native sz_hash over a tape; u64[count] or None."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    count = offsets.shape[0] - 1
+    out = np.empty(count, dtype=np.uint64)
+    L.tc_hash_batch(_ptr(data), _ptr(offsets), count,
+                    ctypes.c_uint64(seed), _ptr(out))
+    return out
+
+
+def hash_bounds(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                seed: int):
+    """Native sz_hash over (start, end) spans of one buffer; u64[n] or None."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(starts.shape[0], dtype=np.uint64)
+    L.tc_hash_bounds(_ptr(data), _ptr(starts), _ptr(ends), starts.shape[0],
+                     ctypes.c_uint64(seed), _ptr(out))
+    return out
+
+
+def fill_random(length: int, nonce: int) -> bytes | None:
+    L = lib()
+    if L is None or length <= 0:
+        return None if L is None else b""
+    out = np.empty(length, dtype=np.uint8)
+    L.tc_fill_random(_ptr(out), length, ctypes.c_uint64(nonce))
+    return out.tobytes()
+
+
+def sha256_one(data: np.ndarray) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(32, dtype=np.uint8)
+    L.tc_sha256(_ptr(data) if data.size else None, data.shape[0], _ptr(out))
+    return out.tobytes()
+
+
+def sha256_compress(state: np.ndarray, blocks: np.ndarray) -> bool:
+    """Run `blocks` (k*64 bytes) through the native compressor, updating
+    `state` (u32[8]) in place. False when the library is unavailable."""
+    L = lib()
+    if L is None:
+        return False
+    assert state.dtype == np.uint32 and state.flags["C_CONTIGUOUS"]
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    L.tc_sha256_compress(_ptr(state), _ptr(blocks), blocks.shape[0] // 64)
+    return True
+
+
+def sha256_tape(data: np.ndarray, offsets: np.ndarray):
+    """Native SHA-256 over a tape; (count, 32) u8 or None."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    count = offsets.shape[0] - 1
+    out = np.empty((count, 32), dtype=np.uint8)
+    L.tc_sha256_batch(_ptr(data), _ptr(offsets), count, _ptr(out))
+    return out
 
 
 def sb_breaks(data: np.ndarray, sb_table: np.ndarray) -> np.ndarray | None:
