@@ -1031,6 +1031,258 @@ int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
     return count;
 }
 
+// GCB_VALUES order (ops/ucd.py):
+enum {
+    GB_Other = 0, GB_CR, GB_LF, GB_Control, GB_Extend, GB_ZWJ, GB_RI,
+    GB_Prepend, GB_SpacingMark, GB_L, GB_V, GB_T, GB_LV, GB_LVT
+};
+
+// UAX-29 extended-grapheme-cluster boundaries (byte offsets, excluding 0
+// and n). Streaming GB1-GB13/GB999; semantics identical to
+// ops/segment.py::grapheme_breaks (the differential oracle). The mostly-
+// ASCII fast path: Other×Other always breaks, so plain-text runs write
+// one offset per byte without re-entering the automaton.
+int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
+                     const uint8_t* ep, int64_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    int64_t count = 0;
+    uint32_t r;
+    int64_t i = tc_decode_one(data, 0, n, &r);
+    uint8_t pc = gcb[r];
+    // GB11 chain: lnee_incl = ExtPict of nearest non-Extend at/before prev;
+    // lnee_prev = same, strictly before prev.
+    bool lnee_prev = false, lnee_incl = ep[r] != 0;
+    int64_t ri_run = pc == GB_RI ? 1 : 0;
+    while (i < n) {
+        if (data[i] < 0x80 && pc == GB_Other && gcb[data[i]] == GB_Other) {
+            // ASCII Other run: every position is a boundary
+            do {
+                if (out && count < cap) out[count] = i;
+                ++count;
+                ++i;
+            } while (i < n && data[i] < 0x80 && gcb[data[i]] == GB_Other);
+            lnee_prev = false;
+            lnee_incl = false;
+            ri_run = 0;
+            continue;
+        }
+        int64_t used = tc_decode_one(data, i, n, &r);
+        uint8_t cc = gcb[r];
+        bool cep = ep[r] != 0;
+        bool brk;
+        if (pc == GB_CR && cc == GB_LF) brk = false;  // GB3
+        else if (pc == GB_Control || pc == GB_CR || pc == GB_LF ||
+                 cc == GB_Control || cc == GB_CR || cc == GB_LF)
+            brk = true;  // GB4/GB5
+        else {
+            bool nb = false;
+            nb |= pc == GB_L && (cc == GB_L || cc == GB_V || cc == GB_LV ||
+                                 cc == GB_LVT);               // GB6
+            nb |= (pc == GB_LV || pc == GB_V) &&
+                  (cc == GB_V || cc == GB_T);                 // GB7
+            nb |= (pc == GB_LVT || pc == GB_T) && cc == GB_T; // GB8
+            nb |= cc == GB_Extend || cc == GB_ZWJ ||
+                  cc == GB_SpacingMark;                       // GB9/9a
+            nb |= pc == GB_Prepend;                           // GB9b
+            nb |= pc == GB_ZWJ && cep && lnee_prev;           // GB11
+            nb |= cc == GB_RI && pc == GB_RI && (ri_run & 1); // GB12/13
+            brk = !nb;
+        }
+        if (brk) {
+            if (out && count < cap) out[count] = i;
+            ++count;
+        }
+        ri_run = cc == GB_RI ? (pc == GB_RI ? ri_run + 1 : 1) : 0;
+        lnee_prev = lnee_incl;
+        if (cc != GB_Extend) lnee_incl = cep;
+        pc = cc;
+        i += used;
+    }
+    return count;
+}
+
+// WB_VALUES order (ops/ucd.py):
+enum {
+    WB_Other = 0, WB_CR, WB_LF, WB_Newline, WB_Extend, WB_ZWJ, WB_RI,
+    WB_Format, WB_Katakana, WB_Hebrew_Letter, WB_ALetter, WB_Single_Quote,
+    WB_Double_Quote, WB_MidNumLet, WB_MidLetter, WB_MidNum, WB_Numeric,
+    WB_ExtendNumLet, WB_WSegSpace
+};
+
+static inline bool wb_ahl(uint8_t c) {
+    return c == WB_ALetter || c == WB_Hebrew_Letter;
+}
+static inline bool wb_midl(uint8_t c) {
+    return c == WB_MidLetter || c == WB_MidNumLet || c == WB_Single_Quote;
+}
+static inline bool wb_midn(uint8_t c) {
+    return c == WB_MidNum || c == WB_MidNumLet || c == WB_Single_Quote;
+}
+static inline bool wb_sep(uint8_t c) {
+    return c == WB_CR || c == WB_LF || c == WB_Newline;
+}
+
+// Break between elements p1 and c0 (classes p2 p1 c0 nx on the WB4-
+// collapsed sequence)?  rp_zwj/ep0: raw-rune ZWJ adjacency + ExtPict of
+// c0's first rune (WB3c);  ri_odd: c0 is the second flag of an RI pair.
+static inline bool wb_boundary_(uint8_t p2, uint8_t p1, uint8_t c0,
+                                uint8_t nx, bool rp_zwj, bool ep0,
+                                bool ri_odd) {
+    if (p1 == WB_CR && c0 == WB_LF) return false;      // WB3
+    if (wb_sep(p1) || wb_sep(c0)) return true;         // WB3a/3b
+    if (rp_zwj && ep0) return false;                   // WB3c
+    if (p1 == WB_WSegSpace && c0 == WB_WSegSpace) return false;  // WB3d
+    if (wb_ahl(p1) && wb_ahl(c0)) return false;        // WB5
+    if (wb_ahl(p1) && wb_midl(c0) && wb_ahl(nx)) return false;   // WB6
+    if (wb_ahl(p2) && wb_midl(p1) && wb_ahl(c0)) return false;   // WB7
+    if (p1 == WB_Hebrew_Letter && c0 == WB_Single_Quote) return false;
+    if (p1 == WB_Hebrew_Letter && c0 == WB_Double_Quote &&
+        nx == WB_Hebrew_Letter) return false;          // WB7b
+    if (p2 == WB_Hebrew_Letter && p1 == WB_Double_Quote &&
+        c0 == WB_Hebrew_Letter) return false;          // WB7c
+    if (p1 == WB_Numeric && c0 == WB_Numeric) return false;      // WB8
+    if (wb_ahl(p1) && c0 == WB_Numeric) return false;  // WB9
+    if (p1 == WB_Numeric && wb_ahl(c0)) return false;  // WB10
+    if (p2 == WB_Numeric && wb_midn(p1) && c0 == WB_Numeric) return false;
+    if (p1 == WB_Numeric && wb_midn(c0) && nx == WB_Numeric) return false;
+    if (p1 == WB_Katakana && c0 == WB_Katakana) return false;    // WB13
+    if ((wb_ahl(p1) || p1 == WB_Numeric || p1 == WB_Katakana ||
+         p1 == WB_ExtendNumLet) && c0 == WB_ExtendNumLet) return false;
+    if (p1 == WB_ExtendNumLet &&
+        (wb_ahl(c0) || c0 == WB_Numeric || c0 == WB_Katakana)) return false;
+    if (p1 == WB_RI && c0 == WB_RI && ri_odd) return false;      // WB15/16
+    return true;  // WB999
+}
+
+// Precomputed (p2, p1, c0, nx) break table for the common case (no raw-
+// ZWJ adjacency, no RI pair): the 20-branch rule cascade becomes one L1
+// load.  Class 19 doubles as the "none" sentinel (255 maps to it).
+static uint8_t wb_tab_[20 * 20 * 20 * 20];
+static bool wb_tab_ready_ = false;
+static inline uint8_t wb_cls20_(uint8_t c) { return c > 19 ? 19 : c; }
+static void wb_tab_init_(void) {
+    for (int p2 = 0; p2 < 20; ++p2)
+        for (int p1 = 0; p1 < 20; ++p1)
+            for (int c0 = 0; c0 < 20; ++c0)
+                for (int nx = 0; nx < 20; ++nx)
+                    wb_tab_[((p2 * 20 + p1) * 20 + c0) * 20 + nx] =
+                        wb_boundary_((uint8_t)(p2 == 19 ? 255 : p2),
+                                     (uint8_t)(p1 == 19 ? 255 : p1),
+                                     (uint8_t)(c0 == 19 ? 255 : c0),
+                                     (uint8_t)(nx == 19 ? 255 : nx),
+                                     false, false, false);
+    wb_tab_ready_ = true;
+}
+
+// UAX-29 word boundaries (byte offsets of boundary element starts,
+// excluding 0 and n). One streaming pass with a one-element lookahead
+// pipeline; semantics identical to ops/segment.py::word_breaks. Runs of
+// one same class in {ALetter, Hebrew_Letter, Numeric, Katakana,
+// WSegSpace} collapse without re-entering the pair logic (no rule breaks
+// inside such a run, and p2 == p1 == class afterwards either way).
+static inline bool wb_decide_(uint8_t p2, uint8_t p1, uint8_t c0, uint8_t nx,
+                              bool rp_zwj0, bool ep0, int64_t ri_run) {
+    if (rp_zwj0 || (p1 == WB_RI && c0 == WB_RI))  // rare stateful rules
+        return wb_boundary_(p2, p1, c0, nx, rp_zwj0, ep0,
+                            p1 == WB_RI && c0 == WB_RI && (ri_run & 1));
+    return wb_tab_[((wb_cls20_(p2) * 20 + wb_cls20_(p1)) * 20 +
+                    wb_cls20_(c0)) * 20 + wb_cls20_(nx)] != 0;
+}
+
+int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
+                     const uint8_t* ep, int64_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    if (!wb_tab_ready_) wb_tab_init_();
+    int64_t count = 0;
+    // pipeline of collapsed elements: classes p2, p1, c0; byte offset of
+    // c0; WB3c context of c0; RI run ending at p1.
+    uint8_t p2 = 255, p1 = 255, c0 = 255;
+    int64_t off0 = -1;
+    bool rp_zwj0 = false, ep0 = false;
+    int64_t ri_run = 0;
+    bool have_c0 = false;
+    uint8_t prev_raw = 255;  // raw class of the previous rune
+    int64_t i = 0;
+    while (i < n) {
+        uint32_t r;
+        int64_t used;
+        if (data[i] < 0x80) {
+            r = data[i];
+            used = 1;
+        } else {
+            used = tc_decode_one(data, i, n, &r);
+        }
+        uint8_t cc = wb[r];
+        // WB4: Extend/Format/ZWJ attach unless after sot / CR / LF / NL
+        if ((cc == WB_Extend || cc == WB_Format || cc == WB_ZWJ) &&
+            prev_raw != 255 && !wb_sep(prev_raw)) {
+            prev_raw = cc;
+            i += used;
+            continue;
+        }
+        // element starts at byte i with class cc
+        bool rp_zwj = prev_raw == WB_ZWJ;
+        bool epc = ep[r] != 0;
+        prev_raw = cc;
+        int64_t at = i;
+        i += used;
+        // same-class run collapse (ASCII inner loop): gobble runes whose
+        // element class repeats; each absorbed element shifts p2=p1=cc.
+        bool collapsible = cc == WB_ALetter || cc == WB_Hebrew_Letter ||
+                           cc == WB_Numeric || cc == WB_Katakana ||
+                           cc == WB_WSegSpace;
+        if (have_c0 && c0 == cc && collapsible && !rp_zwj0 && !rp_zwj) {
+            // decide the pending boundary (p1 vs c0) with next = cc, then
+            // absorb the run: boundaries inside it never break.
+            if (p1 != 255) {
+                if (wb_decide_(p2, p1, c0, cc, rp_zwj0, ep0, ri_run)) {
+                    if (out && count < cap) out[count] = off0;
+                    ++count;
+                }
+            }
+            p2 = cc;
+            p1 = cc;
+            ri_run = 0;
+            while (i < n && data[i] < 0x80 && wb[data[i]] == cc) ++i;
+            // the run's last element becomes c0 (offset = unknown start of
+            // the final rune — but boundaries only ever fire at element
+            // starts AFTER c0, so off0 is never emitted for run members;
+            // use `at` of the LAST absorbed element: re-derive cheaply.
+            c0 = cc;
+            off0 = at;  // placeholder; a run never breaks internally and
+                        // the next boundary uses the NEXT element's offset
+            rp_zwj0 = false;
+            ep0 = epc;
+            have_c0 = true;
+            prev_raw = cc;
+            continue;
+        }
+        if (have_c0) {
+            if (p1 != 255) {
+                if (wb_decide_(p2, p1, c0, cc, rp_zwj0, ep0, ri_run)) {
+                    if (out && count < cap) out[count] = off0;
+                    ++count;
+                }
+            }
+            ri_run = c0 == WB_RI ? (p1 == WB_RI ? ri_run + 1 : 1) : 0;
+            p2 = p1;
+            p1 = c0;
+        }
+        c0 = cc;
+        off0 = at;
+        rp_zwj0 = rp_zwj;
+        ep0 = epc;
+        have_c0 = true;
+    }
+    if (have_c0 && p1 != 255) {  // final boundary: next = none
+        if (wb_decide_(p2, p1, c0, 255, rp_zwj0, ep0, ri_run)) {
+            if (out && count < cap) out[count] = off0;
+            ++count;
+        }
+    }
+    return count;
+}
+
 // ---- 64-bit AES-mixing hash (the reference's sz_hash contract) ----
 //
 // Host-tier production path: same dual-state construction the Python/numpy

@@ -103,6 +103,18 @@ void tc_pgram_keys_unicode(const uint8_t* data, const int64_t* starts,
 void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
                      int64_t* order);
 
+/* ---- UAX-29 word / grapheme segmentation ----
+ *
+ * Streaming automata over caller-supplied class tables (u8[0x110000] in
+ * ucd.WB_VALUES / ucd.GCB_VALUES order; `ep` = Extended_Pictographic
+ * membership).  Return the boundary count; when `out` is non-NULL, up to
+ * `cap` byte offsets are written (boundaries exclude 0 and n). */
+
+int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
+                     const uint8_t* ep, int64_t* out, int64_t cap);
+int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
+                     const uint8_t* ep, int64_t* out, int64_t cap);
+
 /* ---- checksums & hashing ---- */
 
 uint64_t tc_bytesum(const uint8_t* data, int64_t n);

@@ -61,6 +61,14 @@ def decode_runes(buf: bytes):
             np.asarray(offs, dtype=np.int32))
 
 
+
+def _member(c: np.ndarray, vals) -> np.ndarray:
+    """Membership of u8 class ids via a 256-entry boolean LUT (drop-in for
+    ``np.isin``, which sorts per call and dominated the profile)."""
+    lut = np.zeros(256, dtype=bool)
+    lut[np.asarray(vals, dtype=np.int64)] = True
+    return lut[c]
+
 def _last_index_where(mask: np.ndarray) -> np.ndarray:
     """per position i: the largest j <= i with mask[j], else -1."""
     n = mask.shape[0]
@@ -87,7 +95,20 @@ def _ri_pair_nobreak(is_ri: np.ndarray) -> np.ndarray:
 
 def grapheme_breaks(buf: bytes) -> np.ndarray:
     """Byte offsets of extended-grapheme-cluster starts (excluding 0),
-    i.e. the boundary set of GB1-GB13/GB999."""
+    i.e. the boundary set of GB1-GB13/GB999. Production tier: the native
+    streaming automaton (``tapecraft.cpp::tc_gb_breaks``); this vectorized
+    scan is the differential oracle and fallback."""
+    from ..utils import native
+
+    buf = _as_bytes(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = native.gb_breaks(arr, ucd.gcb_classes(), ucd.gcb_ext_pict())
+    if out is not None:
+        return out
+    return _grapheme_breaks_py(buf)
+
+
+def _grapheme_breaks_py(buf: bytes) -> np.ndarray:
     runes, offs = decode_runes(_as_bytes(buf))
     n = runes.shape[0]
     if n <= 1:
@@ -103,11 +124,11 @@ def grapheme_breaks(buf: bytes) -> np.ndarray:
     nb |= (prev == G["CR"]) & (cur == G["LF"])
     gb3 = nb.copy()
     # GB6-8 Hangul
-    nb |= (prev == G["L"]) & np.isin(cur, [G["L"], G["V"], G["LV"], G["LVT"]])
-    nb |= np.isin(prev, [G["LV"], G["V"]]) & np.isin(cur, [G["V"], G["T"]])
-    nb |= np.isin(prev, [G["LVT"], G["T"]]) & (cur == G["T"])
+    nb |= (prev == G["L"]) & _member(cur, [G["L"], G["V"], G["LV"], G["LVT"]])
+    nb |= _member(prev, [G["LV"], G["V"]]) & _member(cur, [G["V"], G["T"]])
+    nb |= _member(prev, [G["LVT"], G["T"]]) & (cur == G["T"])
     # GB9 / GB9a / GB9b
-    nb |= np.isin(cur, [G["Extend"], G["ZWJ"]])
+    nb |= _member(cur, [G["Extend"], G["ZWJ"]])
     nb |= cur == G["SpacingMark"]
     nb |= prev == G["Prepend"]
     # GB11: ExtPict Extend* ZWJ x ExtPict
@@ -125,7 +146,7 @@ def grapheme_breaks(buf: bytes) -> np.ndarray:
     nb |= _ri_pair_nobreak(c == G["Regional_Indicator"])[1:]
     # GB4/5 force breaks around controls (after GB3)
     ctl = [G["Control"], G["CR"], G["LF"]]
-    force = np.isin(prev, ctl) | np.isin(cur, ctl)
+    force = _member(prev, ctl) | _member(cur, ctl)
     brk = np.where(gb3, False, np.where(force, True, ~nb))
     return offs[1:-1][brk].astype(np.int64)
 
@@ -137,7 +158,21 @@ def grapheme_breaks(buf: bytes) -> np.ndarray:
 
 def word_breaks(buf: bytes) -> np.ndarray:
     """Byte offsets of word boundaries (excluding 0 and len), per WB1-WB999
-    with the full class set (Hebrew_Letter, Single/Double_Quote, WSegSpace)."""
+    with the full class set (Hebrew_Letter, Single/Double_Quote, WSegSpace).
+    Production tier: the native streaming automaton
+    (``tapecraft.cpp::tc_wb_breaks``); this vectorized scan is the
+    differential oracle and fallback."""
+    from ..utils import native
+
+    buf = _as_bytes(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = native.wb_breaks(arr, ucd.wb_classes(), ucd.gcb_ext_pict())
+    if out is not None:
+        return out
+    return _word_breaks_py(buf)
+
+
+def _word_breaks_py(buf: bytes) -> np.ndarray:
     buf = _as_bytes(buf)
     runes, offs = decode_runes(buf)
     n = runes.shape[0]
@@ -152,11 +187,11 @@ def word_breaks(buf: bytes) -> np.ndarray:
     # sot / CR / LF / Newline. A standalone E/F/Z (after sot) becomes a base
     # itself, so chained E/F/Z always attach when the previous *rune* is not
     # a separator (separators are never E/F/Z).
-    efz = np.isin(c, [W["Extend"], W["Format"], W["ZWJ"]])
+    efz = _member(c, [W["Extend"], W["Format"], W["ZWJ"]])
     seps = [W["CR"], W["LF"], W["Newline"]]
     attach = efz.copy()
     attach[0] = False
-    attach[1:] &= ~np.isin(c[:-1], seps)
+    attach[1:] &= ~_member(c[:-1], seps)
 
     # collapsed element sequence
     el_idx = np.nonzero(~attach)[0]  # rune index of each element start
@@ -181,10 +216,10 @@ def word_breaks(buf: bytes) -> np.ndarray:
     # WB3d WSegSpace x WSegSpace
     nb |= (prev == W["WSegSpace"]) & (cur == W["WSegSpace"])
     # WB5
-    nb |= np.isin(prev, AHL) & np.isin(cur, AHL)
+    nb |= _member(prev, AHL) & _member(cur, AHL)
     # WB6 / WB7
-    nb |= np.isin(prev, AHL) & np.isin(cur, MIDL) & np.isin(nxt, AHL)
-    nb |= np.isin(prev2, AHL) & np.isin(prev, MIDL) & np.isin(cur, AHL)
+    nb |= _member(prev, AHL) & _member(cur, MIDL) & _member(nxt, AHL)
+    nb |= _member(prev2, AHL) & _member(prev, MIDL) & _member(cur, AHL)
     # WB7a / WB7b / WB7c (Hebrew quotes)
     nb |= (prev == W["Hebrew_Letter"]) & (cur == W["Single_Quote"])
     nb |= ((prev == W["Hebrew_Letter"]) & (cur == W["Double_Quote"])
@@ -193,20 +228,20 @@ def word_breaks(buf: bytes) -> np.ndarray:
            & (cur == W["Hebrew_Letter"]))
     # WB8 / WB9 / WB10
     nb |= (prev == W["Numeric"]) & (cur == W["Numeric"])
-    nb |= np.isin(prev, AHL) & (cur == W["Numeric"])
-    nb |= (prev == W["Numeric"]) & np.isin(cur, AHL)
+    nb |= _member(prev, AHL) & (cur == W["Numeric"])
+    nb |= (prev == W["Numeric"]) & _member(cur, AHL)
     # WB11 / WB12
-    nb |= (prev2 == W["Numeric"]) & np.isin(prev, MIDN) & (cur == W["Numeric"])
-    nb |= (prev == W["Numeric"]) & np.isin(cur, MIDN) & (nxt == W["Numeric"])
+    nb |= (prev2 == W["Numeric"]) & _member(prev, MIDN) & (cur == W["Numeric"])
+    nb |= (prev == W["Numeric"]) & _member(cur, MIDN) & (nxt == W["Numeric"])
     # WB13 / WB13a / WB13b
     nb |= (prev == W["Katakana"]) & (cur == W["Katakana"])
     glue = AHL + [W["Numeric"], W["Katakana"], W["ExtendNumLet"]]
-    nb |= np.isin(prev, glue) & (cur == W["ExtendNumLet"])
-    nb |= (prev == W["ExtendNumLet"]) & np.isin(cur, glue[:-1])
+    nb |= _member(prev, glue) & (cur == W["ExtendNumLet"])
+    nb |= (prev == W["ExtendNumLet"]) & _member(cur, glue[:-1])
     # WB15/16 RI pairs (on collapsed elements)
     nb |= _ri_pair_nobreak(C == W["Regional_Indicator"])[1:]
     # WB3a / WB3b force breaks around newlines (after WB3)
-    force = np.isin(prev, seps) | np.isin(cur, seps)
+    force = _member(prev, seps) | _member(cur, seps)
     brk = np.where(wb3, False, np.where(force, True, ~nb))
     return offs[el_idx[1:][brk]].astype(np.int64)
 
@@ -221,7 +256,7 @@ def words(buf: bytes) -> list[tuple[int, int]]:
     idx = runes.astype(np.int64)
     c = ucd.wb_classes()[idx]
     W = _WB
-    wordy = np.isin(c, [W["ALetter"], W["Hebrew_Letter"], W["Numeric"],
+    wordy = _member(c, [W["ALetter"], W["Hebrew_Letter"], W["Numeric"],
                         W["Katakana"], W["ExtendNumLet"]])
     # rune offset -> cumulative wordy count, so each span is one range query
     cum = np.concatenate([[0], np.cumsum(wordy)])
@@ -265,10 +300,10 @@ def _sentence_breaks_py(buf: bytes) -> np.ndarray:
     para = (S["Sep"], S["CR"], S["LF"])
 
     # SB5 collapse: Extend/Format attach unless after sot/ParaSep
-    ef = np.isin(c, [S["Extend"], S["Format"]])
+    ef = _member(c, [S["Extend"], S["Format"]])
     attach = ef.copy()
     attach[0] = False
-    attach[1:] &= ~np.isin(c[:-1], list(para))
+    attach[1:] &= ~_member(c[:-1], list(para))
     el_idx = np.nonzero(~attach)[0]
     C = c[el_idx]
     m = C.shape[0]
@@ -276,7 +311,7 @@ def _sentence_breaks_py(buf: bytes) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
 
     # SB8 lookahead: first "significant" class at or after element k
-    sig = np.isin(C, [S["OLetter"], S["Upper"], S["Lower"], S["Sep"],
+    sig = _member(C, [S["OLetter"], S["Upper"], S["Lower"], S["Sep"],
                       S["CR"], S["LF"], S["ATerm"], S["STerm"]])
     nxt_sig = np.full(m, 255, dtype=np.uint8)
     last = np.uint8(255)
@@ -369,17 +404,17 @@ def _line_breaks_py(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     L = _LB
 
     # LB1 resolution
-    c[np.isin(c, [L["AI"], L["SG"], L["XX"]])] = L["AL"]
+    c[_member(c, [L["AI"], L["SG"], L["XX"]])] = L["AL"]
     c[c == L["CJ"]] = L["NS"]
     c[c == L["SA"]] = L["AL"]  # (CM/AL split by category is a tailoring)
 
     # LB9/LB10: attach CM/ZWJ to base (not after BK/CR/LF/NL/SP/ZW/sot);
     # a standalone CM is rewritten to AL (LB10) and later CMs attach to it
-    cmz = np.isin(c, [L["CM"], L["ZWJ"]])
+    cmz = _member(c, [L["CM"], L["ZWJ"]])
     hard = [L["BK"], L["CR"], L["LF"], L["NL"], L["SP"], L["ZW"]]
     attach = cmz.copy()
     attach[0] = False
-    attach[1:] &= ~np.isin(c[:-1], hard)
+    attach[1:] &= ~_member(c[:-1], hard)
     c[cmz & ~attach] = L["AL"]  # LB10
     zwj_raw = c == L["ZWJ"]  # before collapse (LB8a uses raw adjacency)
     el_idx = np.nonzero(~attach)[0]

@@ -118,6 +118,10 @@ def lib():
                                             c_i64]
         L.tc_sb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_i64]
         L.tc_sb_breaks.restype = c_i64
+        L.tc_wb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
+        L.tc_wb_breaks.restype = c_i64
+        L.tc_gb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
+        L.tc_gb_breaks.restype = c_i64
         L.tc_lb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
         L.tc_lb_breaks.restype = c_i64
         _lib = L
@@ -386,6 +390,46 @@ def sha256_tape(data: np.ndarray, offsets: np.ndarray):
     count = offsets.shape[0] - 1
     out = np.empty((count, 32), dtype=np.uint8)
     L.tc_sha256_batch(_ptr(data), _ptr(offsets), count, _ptr(out))
+    return out
+
+
+def wb_breaks(data: np.ndarray, wb_table: np.ndarray,
+              ep_table: np.ndarray) -> np.ndarray | None:
+    """UAX-29 word-boundary byte offsets; None when native is absent."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    wb = np.ascontiguousarray(wb_table, np.uint8)
+    ep = np.ascontiguousarray(ep_table, np.uint8)
+    # one pass with a word-text-sized guess (~2 boundaries per 6-byte word);
+    # rare overflow pays a second exact pass
+    cap = n // 2 + 64
+    out = np.empty(cap, dtype=np.int64)
+    cnt = L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cap)
+    if cnt > cap:
+        out = np.empty(cnt, dtype=np.int64)
+        L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cnt)
+        return out
+    return out[:cnt].copy()
+
+
+def gb_breaks(data: np.ndarray, gcb_table: np.ndarray,
+              ep_table: np.ndarray) -> np.ndarray | None:
+    """UAX-29 grapheme-boundary byte offsets; None when native is absent.
+    Count-then-fill: boundaries ≈ one per byte on plain text, so sizing the
+    output exactly (second pass) beats faulting an n-word scratch + copy."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    gcb = np.ascontiguousarray(gcb_table, np.uint8)
+    ep = np.ascontiguousarray(ep_table, np.uint8)
+    cnt = L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), None, 0)
+    out = np.empty(cnt, dtype=np.int64)
+    L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), _ptr(out), cnt)
     return out
 
 

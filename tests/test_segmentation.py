@@ -284,3 +284,24 @@ def test_uncased_device_tier(rng):
         want = utf8_uncased_find(hay, nd)
         assert got is not None, (nd,)
         assert got == want, (nd, got, want)
+
+
+def test_native_vs_vectorized_segmentation(rng, iterations):
+    """The native streaming automata (tc_wb_breaks / tc_gb_breaks) vs the
+    vectorized numpy tier — same boundaries on mixed-script fuzz strings
+    and plain text (the numpy tier is itself conformance-tested above)."""
+    from stringzilla_tpu.utils import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    pool = np.asarray(SAMPLES, dtype=np.int64)
+    for it in range(iterations(80)):
+        n = int(rng.integers(1, 48))
+        buf = "".join(chr(int(c)) for c in rng.choice(pool, n)).encode()
+        assert list(S.word_breaks(buf)) == list(S._word_breaks_py(buf)), (
+            it, buf)
+        assert list(S.grapheme_breaks(buf)) == list(
+            S._grapheme_breaks_py(buf)), (it, buf)
+    text = b"Word boundaries; 3.14 can't stop -- \"quoted\" text.\n" * 40
+    assert list(S.word_breaks(text)) == list(S._word_breaks_py(text))
+    assert list(S.grapheme_breaks(text)) == list(S._grapheme_breaks_py(text))
