@@ -1,0 +1,68 @@
+"""Foreign-language consumers of the tapecraft C ABI.
+
+The reference ships seven language bindings over its C99 ABI
+(``rust/stringzilla.rs:938-1656``, ``golang/lib.go``, ...).  This repo
+ships binding sources for Rust, Go, and Perl under ``bindings/``; the Perl
+XS one is built and its test suite executed here because Perl is the one
+non-Python runtime with a working toolchain in CI (Rust/Go sources are
+compile-ready against the same header, see ``bindings/README.md``).
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PERL_DIR = os.path.join(REPO, "bindings", "perl", "Tapecraft")
+
+
+def _perl_toolchain() -> bool:
+    if not shutil.which("perl"):
+        return False
+    probe = subprocess.run(
+        ["perl", "-MExtUtils::MakeMaker", "-e", "1"], capture_output=True)
+    return probe.returncode == 0
+
+
+@pytest.mark.skipif(not _perl_toolchain(), reason="no perl/MakeMaker")
+def test_perl_binding(tmp_path):
+    from stringzilla_tpu.utils import native
+
+    so = native._build()
+    if so is None:
+        pytest.skip("native tapecraft lib unavailable")
+
+    # Stage: sources + an unversioned libtapecraft.so for -ltapecraft.
+    build = tmp_path / "Tapecraft"
+    shutil.copytree(PERL_DIR, build)
+    libdir = tmp_path / "lib"
+    libdir.mkdir()
+    shutil.copy(so, libdir / "libtapecraft.so")
+
+    env = dict(os.environ, TAPECRAFT_LIBDIR=str(libdir),
+               LD_LIBRARY_PATH=str(libdir))
+    for cmd in (["perl", "Makefile.PL"], ["make"], ["make", "test"]):
+        proc = subprocess.run(cmd, cwd=build, env=env, capture_output=True,
+                              text=True, timeout=300)
+        assert proc.returncode == 0, (
+            f"{' '.join(cmd)} failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}")
+    assert "All tests successful" in proc.stdout
+
+
+def test_rust_go_sources_track_header():
+    """The Rust and Go binding sources must declare every symbol they use
+    with names that exist in tapecraft.h (they cannot be compiled in this
+    CI image — no rustc/go — but symbol drift is still catchable)."""
+    import re
+
+    header = open(os.path.join(REPO, "stringzilla_tpu", "native",
+                               "tapecraft.h")).read()
+    exported = set(re.findall(r"\b(tc_\w+)\s*\(", header))
+    for rel in ("bindings/rust/src/lib.rs", "bindings/go/tapecraft.go"):
+        src = open(os.path.join(REPO, rel)).read()
+        used = set(re.findall(r"\b(tc_\w+)\b", src))
+        unknown = used - exported
+        assert not unknown, f"{rel} references non-ABI symbols: {unknown}"
+        assert len(used) >= 8, f"{rel} binds too little of the ABI"
