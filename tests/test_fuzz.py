@@ -14,7 +14,7 @@ from .oracles import levenshtein
 
 
 def test_fuzz_levenshtein(rng, iterations):
-    for trial in range(iterations(3)):
+    for trial in range(iterations(30)):
         nq = int(rng.integers(1, 5))
         nc = int(rng.integers(1, 20))
         alpha = int(rng.integers(2, 8))
@@ -30,7 +30,7 @@ def test_fuzz_levenshtein(rng, iterations):
 
 
 def test_fuzz_find(rng, iterations):
-    for trial in range(iterations(20)):
+    for trial in range(iterations(200)):
         n = int(rng.integers(1, 600))
         hay = bytes(rng.integers(97, 100, n).astype(np.uint8))
         k = int(rng.integers(1, 20))
@@ -44,7 +44,7 @@ def test_fuzz_find(rng, iterations):
 
 
 def test_fuzz_sort_hash_intersect(rng, iterations):
-    for trial in range(iterations(2)):
+    for trial in range(iterations(20)):
         words = [bytes(rng.integers(97, 123, int(rng.integers(0, 16))).astype(np.uint8))
                  for _ in range(300)]
         perm = argsort_strings(words)
@@ -64,7 +64,7 @@ def test_fuzz_norm(rng, iterations):
     pool = (list(range(0x20, 0x7F)) + list(range(0xC0, 0x180))
             + list(range(0x300, 0x315)) + [0x1100, 0x1161, 0x11A8, 0xAC00,
                                            0x212B, 0xFB03, 0x0344])
-    for trial in range(iterations(150)):
+    for trial in range(iterations(1500)):
         n = int(rng.integers(0, 24))
         s = "".join(chr(pool[int(i)]) for i in rng.integers(0, len(pool), n))
         for form in ("NFC", "NFD", "NFKC", "NFKD"):
@@ -79,7 +79,7 @@ def test_fuzz_uncased_find(rng, iterations):
     from stringzilla_tpu.ops.utf8 import utf8_uncased_find
 
     pool = "abcAB ßKÉéK"
-    for trial in range(iterations(150)):
+    for trial in range(iterations(1500)):
         hay = "".join(pool[int(i)] for i in
                       rng.integers(0, len(pool), int(rng.integers(0, 60))))
         nd = "".join("abß k"[int(i)] for i in
