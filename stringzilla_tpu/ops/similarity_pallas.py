@@ -30,11 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import platform
 from .similarity import (
     SimilarityConfig,
-    _substitution_column,
     build_sq,
     column_step,
     extract_result,
     init_columns,
+    substitution_stripe,
     update_best,
 )
 
@@ -44,19 +44,39 @@ __all__ = ["similarity_pallas", "pick_lane_block"]
 def pick_lane_block(rows: int, cand_len: int, vmem_budget_bytes: int = 4 << 20) -> int:
     """Lanes per candidate block: as wide as the VMEM budget allows.
 
-    DP state + temporaries cost roughly ``10 * rows * lanes * 4`` bytes plus the
-    ``cand_len * lanes * 4`` character block; VMEM plays the role the L1 budget
-    plays in the reference's small/large scheduler split
+    DP state + temporaries cost roughly ``10 * rows * lanes * 4`` bytes, the
+    8-column substitution stripe adds ``8 * rows * 8`` (f32 contraction + i32
+    cast), plus the ``cand_len * lanes * 4`` character block; VMEM plays the
+    role the L1 budget plays in the reference's small/large scheduler split
     (``serial.hpp:3334-3345``).
     """
-    per_lane = 10 * rows * 4 + cand_len * 4
+    per_lane = 10 * rows * 4 + 8 * rows * 8 + cand_len * 4
     lanes = vmem_budget_bytes // max(per_lane, 1)
     lanes = max(128, min(1024, lanes))
     # Round down to a power of two so any 128-multiple candidate count divides.
     return 1 << (lanes.bit_length() - 1)
 
 
-def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):
+def _stripe_for(cfg: SimilarityConfig, cand_len: int, interpret: bool) -> int:
+    """Columns per stripe: one substitution build + T unrolled DP steps.
+    Striping only pays when there is an MXU contraction to amortize
+    (class costs); the uniform-cost compare is cheapest per column. The
+    interpret/CPU tier keeps T=1 — XLA:CPU chokes on the unrolled body
+    (minutes of compile) that Mosaic eats in seconds."""
+    # cand_len < 16 keeps T=1: striping an 8-sublane (single-tile) candidate
+    # block crashes Mosaic's ApplyVectorLayout for every T>1 form tried
+    # (static or dynamic sub-block loads alike: "limits[i] <= dim(i)"), and
+    # such tiny buckets carry negligible DP work anyway.
+    if interpret or not cfg.uses_classes or cand_len < 16:
+        return 1
+    for t in (8, 4, 2):
+        if cand_len % t == 0:
+            return t
+    return 1
+
+
+def _kernel_body(cfg: SimilarityConfig, cand_len: int, stripe: int,
+                 refs: tuple):
     if cfg.uses_classes:
         qext_ref, qlen_ref, cands_ref, clens_ref, table_ref, out_ref = refs
     else:
@@ -71,21 +91,52 @@ def _kernel_body(cfg: SimilarityConfig, cand_len: int, refs: tuple):
 
     sq = build_sq(q_ext, table_ref[...]) if cfg.uses_classes else None
     state0 = init_columns(rows, lanes, cfg)
-    best0 = jnp.zeros((1, lanes), jnp.int32)
+    best0 = jnp.zeros((rows, lanes) if cfg.is_local else (1, lanes), jnp.int32)
 
-    # Note: software-pipelining the substitution column (as the Myers kernel
-    # does with its Eq mask) was measured SLOWER here — the loop-carried sub
-    # is (rows, lanes) int32 (megabytes at protein shapes), and the extra
-    # carry materialization costs more than the overlap hides.
-    def body(j, carry):
+    # Stripe of T columns per loop iteration: the substitution costs for all
+    # T columns come from ONE one-hot contraction (N = T·lanes fills the MXU;
+    # per-column N = 128 starves it) and the T unrolled column steps give the
+    # VLIW scheduler cross-column overlap — measured +24% with the blocked
+    # scan at the protein shape. (Software-pipelining sub ACROSS loop
+    # iterations was measured slower: the loop-carried (rows, lanes) carry
+    # costs more than the overlap hides.)
+    T = stripe
+
+    def body(s, carry):
         state, best = carry
-        c_row = cands_ref[pl.ds(j - 1, 1), :]  # (1, lanes)
-        state = column_step(state, j, c_row, q_ext, clens, cfg, sq)
+        if T > 1:
+            # One (T, lanes) block load; each row is then selected by an
+            # exact masked-sum sublane reduction and the flat (1, T*lanes)
+            # stripe is the rows' lane concatenation. Row EXTRACTION
+            # (blk[t], blk[t:t+1], reshape, or a static single-row ref
+            # load) instead crashes Mosaic's ApplyVectorLayout at sublane
+            # offsets ("limits[i] <= dim(i)") — only reductions and
+            # lane-aligned concats touch the sublane axis here.
+            blk = cands_ref[pl.ds(s * T, T), :]  # (T, lanes)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+            c_flat = jnp.concatenate(
+                [jnp.sum(jnp.where(rowi == t, blk, 0), axis=0, keepdims=True)
+                 for t in range(T)], axis=1)  # (1, T*lanes)
+            # ONE one-hot contraction covers all T columns; column_step
+            # ignores c_row when sub is supplied.
+            subs = substitution_stripe(q_ext, c_flat, cfg, sq)
+            for t in range(T):
+                state = column_step(state, s * T + t + 1, None, q_ext, clens,
+                                    cfg, sq,
+                                    sub=subs[:, t * lanes:(t + 1) * lanes])
+                if cfg.is_local:
+                    best = update_best(best, state[0], cfg)
+            return (state, best)
+        # T == 1 (uniform costs, or interpret tier): per-column dynamic ref
+        # load; materializing an eq-stripe was measured SLOWER here (no
+        # matmul to amortize).
+        c_row = cands_ref[pl.ds(s, 1), :]  # (1, lanes)
+        state = column_step(state, s + 1, c_row, q_ext, clens, cfg, sq)
         if cfg.is_local:
-            best = update_best(best, state[0], j, qlen, clens, cfg)
+            best = update_best(best, state[0], cfg)
         return (state, best)
 
-    state, best = jax.lax.fori_loop(1, cand_len + 1, body, (state0, best0))
+    state, best = jax.lax.fori_loop(0, cand_len // T, body, (state0, best0))
     out_ref[0] = extract_result(state[0], qlen, clens, cfg, best)
 
 
@@ -112,7 +163,8 @@ def _build_call(cfg: SimilarityConfig, rows: int, cand_len: int, n_queries: int,
         transcendentals=0,
     )
 
-    kernel = functools.partial(_kernel_body, cfg, cand_len)
+    kernel = functools.partial(_kernel_body, cfg, cand_len,
+                               _stripe_for(cfg, cand_len, interpret))
 
     def wrapped(*args):
         out = pl.pallas_call(
