@@ -79,6 +79,19 @@ def _argsort_keys(keys: np.ndarray, top_count: int | None,
     pipelines; the key matrix is padded to a dyadic row count so compiled
     specializations amortize across sizes)."""
     n = keys.shape[0]
+    if top_count is not None and 0 < top_count < n // 4:
+        # Partial-sort pruning (reference ``sz_sequence_argsort_top_k``,
+        # sort.h:24-26): O(n) argpartition on the leading key word selects
+        # the candidate set — every row whose first word ties the k-th
+        # smallest stays in, so the subsequent full sort of the (typically
+        # ~k-sized) candidate set is exact; degenerate all-ties corpora
+        # fall through to the full sort below.
+        c0 = keys[:, 0]
+        thresh = c0[np.argpartition(c0, top_count - 1)[top_count - 1]]
+        cand = np.flatnonzero(c0 <= thresh)
+        if cand.size < n:
+            sub = _argsort_keys(keys[cand], None, prefer_device=prefer_device)
+            return cand[sub][:top_count].astype(np.int64)
     if not prefer_device or n < _DEVICE_MIN_ITEMS:
         order = native.argsort_keys(keys)
         if order is None:  # no native library → numpy lexsort

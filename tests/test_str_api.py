@@ -92,6 +92,22 @@ def test_argsort_uncased_and_topk():
     assert [mixed[i] for i in top] == sorted(mixed)[:2]
 
 
+def test_argsort_topk_pruned(rng):
+    """The pruned partial-sort path (top_count << n) must agree with the
+    full stable sort — including tie-heavy corpora where the leading key
+    word doesn't discriminate and the pruning threshold keeps every tie."""
+    for npool, k in ((6, 50), (300, 25), (2, 10)):
+        words = [bytes(rng.integers(97, 97 + npool,
+                                    int(rng.integers(0, 12))).astype("uint8"))
+                 for _ in range(1000)]
+        got = argsort_strings(words, top_count=k)
+        full = argsort_strings(words)
+        assert list(got) == list(full[:k])
+        got_r = argsort_strings(words, top_count=k, reverse=True)
+        full_r = argsort_strings(words, reverse=True)
+        assert list(got_r) == list(full_r[:k])
+
+
 def test_argsort_uncased_full_unicode(rng):
     """Full-Unicode fold-on-export ordering (reference sort.h:18-22,114):
     differential vs a stable sort on the casefolded decoded string, with
