@@ -1,10 +1,12 @@
 """Foreign-language consumers of the tapecraft C ABI.
 
 The reference ships seven language bindings over its C99 ABI
-(``rust/stringzilla.rs:938-1656``, ``golang/lib.go``, ...).  This repo
-ships binding sources for Rust, Go, and Perl under ``bindings/``; the Perl
-XS one is built and its test suite executed here because Perl is the one
-non-Python runtime with a working toolchain in CI (Rust/Go sources are
+(``rust/stringzilla.rs:938-1656``, ``golang/lib.go``, ``javascript/lib.c``,
+``csharp/StringZilla.cs``, ``java/.../StringZilla.java``, ``swift/``).
+This repo ships binding sources for Rust, Go, JavaScript (N-API), C#
+(P/Invoke), Java (FFM), Swift, and Perl under ``bindings/``; the Perl XS
+one is built and its test suite executed here because Perl is the one
+non-Python runtime with a working toolchain in CI (the rest are
 compile-ready against the same header, see ``bindings/README.md``).
 """
 
@@ -51,16 +53,21 @@ def test_perl_binding(tmp_path):
     assert "All tests successful" in proc.stdout
 
 
-def test_rust_go_sources_track_header():
-    """The Rust and Go binding sources must declare every symbol they use
-    with names that exist in tapecraft.h (they cannot be compiled in this
-    CI image — no rustc/go — but symbol drift is still catchable)."""
+def test_foreign_sources_track_header():
+    """Every compile-ready binding source must reference only symbols that
+    exist in tapecraft.h (their toolchains are absent from this CI image —
+    no rustc/go/node/dotnet/jdk/swiftc — but symbol drift is still
+    catchable), and each must bind a substantive slice of the ABI."""
     import re
 
     header = open(os.path.join(REPO, "stringzilla_tpu", "native",
                                "tapecraft.h")).read()
     exported = set(re.findall(r"\b(tc_\w+)\s*\(", header))
-    for rel in ("bindings/rust/src/lib.rs", "bindings/go/tapecraft.go"):
+    for rel in ("bindings/rust/src/lib.rs", "bindings/go/tapecraft.go",
+                "bindings/javascript/lib.c", "bindings/csharp/Tapecraft.cs",
+                "bindings/java/Tapecraft.java",
+                "bindings/swift/Sources/Tapecraft/Tapecraft.swift",
+                "bindings/perl/Tapecraft/Tapecraft.xs"):
         src = open(os.path.join(REPO, rel)).read()
         used = set(re.findall(r"\b(tc_\w+)\b", src))
         unknown = used - exported
