@@ -2,7 +2,7 @@
   "targets": [
     {
       "target_name": "tapecraft",
-      "sources": ["lib.c"],
+      "sources": ["tapecraft_node.c"],
       "libraries": ["-ltapecraft", "-L<!(echo $TAPECRAFT_LIBDIR)"],
       "cflags": ["-O2"]
     }

@@ -64,7 +64,7 @@ def test_foreign_sources_track_header():
                                "tapecraft.h")).read()
     exported = set(re.findall(r"\b(tc_\w+)\s*\(", header))
     for rel in ("bindings/rust/src/lib.rs", "bindings/go/tapecraft.go",
-                "bindings/javascript/lib.c", "bindings/csharp/Tapecraft.cs",
+                "bindings/javascript/tapecraft_node.c", "bindings/csharp/Tapecraft.cs",
                 "bindings/java/Tapecraft.java",
                 "bindings/swift/Sources/Tapecraft/Tapecraft.swift",
                 "bindings/perl/Tapecraft/Tapecraft.xs"):
