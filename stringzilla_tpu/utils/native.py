@@ -394,8 +394,11 @@ def sha256_tape(data: np.ndarray, offsets: np.ndarray):
 
 
 def wb_breaks(data: np.ndarray, wb_table: np.ndarray,
-              ep_table: np.ndarray) -> np.ndarray | None:
-    """UAX-29 word-boundary byte offsets; None when native is absent."""
+              ep_table: np.ndarray, count_only: bool = False):
+    """UAX-29 word-boundary byte offsets; None when native is absent.
+    ``count_only`` runs the drain/enumerate mode (no output array) — the
+    contract ICU's BreakIterator and the reference's fill-and-drain
+    segmenters are benchmarked under."""
     L = lib()
     if L is None:
         return None
@@ -403,10 +406,13 @@ def wb_breaks(data: np.ndarray, wb_table: np.ndarray,
     n = data.shape[0]
     wb = np.ascontiguousarray(wb_table, np.uint8)
     ep = np.ascontiguousarray(ep_table, np.uint8)
+    if count_only:
+        return int(L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), None, 0))
     # one pass with a word-text-sized guess (~2 boundaries per 6-byte word);
     # rare overflow pays a second exact pass
     cap = n // 2 + 64
-    out = np.empty(cap, dtype=np.int64)
+    out = _scratch_i64(cap)
+    cap = out.shape[0]
     cnt = L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cap)
     if cnt > cap:
         out = np.empty(cnt, dtype=np.int64)
@@ -415,11 +421,25 @@ def wb_breaks(data: np.ndarray, wb_table: np.ndarray,
     return out[:cnt].copy()
 
 
+_seg_scratch = threading.local()
+
+
+def _scratch_i64(cap: int) -> np.ndarray:
+    """Reusable per-thread int64 scratch for the segmentation emitters.
+    Fresh np.empty per call costs more than the automaton itself at GB/s
+    rates (page faults on tens of MB); the scratch is faulted once and
+    reused, with one word per page touched on growth."""
+    buf = getattr(_seg_scratch, "i64", None)
+    if buf is None or buf.shape[0] < cap:
+        buf = np.empty(int(cap * 5 // 4) + 64, np.int64)
+        buf[:: 4096 // 8] = 0  # pre-touch one word per page
+        _seg_scratch.i64 = buf
+    return buf
+
+
 def gb_breaks(data: np.ndarray, gcb_table: np.ndarray,
-              ep_table: np.ndarray) -> np.ndarray | None:
-    """UAX-29 grapheme-boundary byte offsets; None when native is absent.
-    Count-then-fill: boundaries ≈ one per byte on plain text, so sizing the
-    output exactly (second pass) beats faulting an n-word scratch + copy."""
+              ep_table: np.ndarray, count_only: bool = False):
+    """UAX-29 grapheme-boundary byte offsets; None when native is absent."""
     L = lib()
     if L is None:
         return None
@@ -427,38 +447,50 @@ def gb_breaks(data: np.ndarray, gcb_table: np.ndarray,
     n = data.shape[0]
     gcb = np.ascontiguousarray(gcb_table, np.uint8)
     ep = np.ascontiguousarray(ep_table, np.uint8)
-    cnt = L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), None, 0)
-    out = np.empty(cnt, dtype=np.int64)
-    L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), _ptr(out), cnt)
-    return out
+    if count_only:
+        return int(L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), None, 0))
+    out = _scratch_i64(n + 1)
+    cnt = L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), _ptr(out),
+                         out.shape[0])
+    return out[:cnt].copy()
 
 
-def sb_breaks(data: np.ndarray, sb_table: np.ndarray) -> np.ndarray | None:
+def sb_breaks(data: np.ndarray, sb_table: np.ndarray,
+              count_only: bool = False):
     """UAX-29 sentence-break byte offsets; None when native is absent."""
     L = lib()
     if L is None:
         return None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.empty(n + 1, dtype=np.int64)
+    if count_only:
+        return int(L.tc_sb_breaks(
+            _ptr(data), n, _ptr(np.ascontiguousarray(sb_table, np.uint8)),
+            None, 0))
+    out = _scratch_i64(n + 1)
     cnt = L.tc_sb_breaks(_ptr(data), n,
                          _ptr(np.ascontiguousarray(sb_table, np.uint8)),
-                         _ptr(out), n + 1)
+                         _ptr(out), out.shape[0])
     return out[:cnt].copy()
 
 
-def lb_breaks(data: np.ndarray, lb_table: np.ndarray):
+def lb_breaks(data: np.ndarray, lb_table: np.ndarray,
+              count_only: bool = False):
     """UAX-14 line-break (offsets, mandatory) arrays; None when absent."""
     L = lib()
     if L is None:
         return None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.empty(n + 1, dtype=np.int64)
+    if count_only:
+        return int(L.tc_lb_breaks(
+            _ptr(data), n, _ptr(np.ascontiguousarray(lb_table, np.uint8)),
+            None, None, 0))
+    out = _scratch_i64(n + 1)
     mand = np.empty(n + 1, dtype=np.uint8)
     cnt = L.tc_lb_breaks(_ptr(data), n,
                          _ptr(np.ascontiguousarray(lb_table, np.uint8)),
-                         _ptr(out), _ptr(mand), n + 1)
+                         _ptr(out), _ptr(mand), out.shape[0])
     return out[:cnt].copy(), mand[:cnt].astype(bool)
 
 
