@@ -79,7 +79,14 @@ class Fingerprints:
                 f"alphabet_size={self.alphabet_size},seed={self.seed})")
 
     def __call__(self, texts, device: DeviceScope | None = None,
-                 out=None) -> tuple[np.ndarray, np.ndarray]:
+                 out=None, device_out: bool = False):
+        """Min-hashes + count-mins for a collection.
+
+        ``device_out=True`` returns the ``(n, ndim) uint32`` pair as
+        device-resident jax arrays and skips the host pull entirely — the
+        fast path for device-side consumers (LSH banding via
+        ``ops.fingerprints.band_keys``, retrieval scoring) where the D2H of
+        ndim*8 bytes/doc would otherwise dominate the pipeline."""
         scope = device or default_device_scope()
         ndev = scope.device_count
         from ..ops.pack_device import device_tape, pack_on_device
@@ -127,6 +134,17 @@ class Fingerprints:
                     self._mult, self._m_limbs, self._fd_limbs, self._inv_m,
                 )
             pending.append((idx, h[:, : len(idx)], c[:, : len(idx)]))
+        if device_out:
+            import jax.numpy as jnp
+
+            perm = jnp.asarray(self._perm)
+            dh = jnp.full((n, self.ndim), -1, jnp.int32)
+            dc = jnp.zeros((n, self.ndim), jnp.int32)
+            for idx, h, c in pending:
+                rows = jnp.asarray(idx)
+                dh = dh.at[rows].set(h[perm].T)
+                dc = dc.at[rows].set(c[perm].T)
+            return dh.view(jnp.uint32), dc.view(jnp.uint32)
         for idx, h, c in pending:
             h = np.asarray(h).view(np.uint32)
             c = np.asarray(c).view(np.uint32)

@@ -32,10 +32,48 @@ import numpy as np
 __all__ = [
     "DEFAULT_WINDOW_WIDTHS",
     "MODULO_BASE",
+    "band_keys",
     "derive_params",
     "fingerprint_oracle",
     "splitmix64",
 ]
+
+
+def band_keys(min_hashes, bands: int):
+    """Per-band LSH bucket keys, computed where the min-hashes live:
+    ``(n, ndim) uint32 -> (n, bands) uint32``.
+
+    Each band's ``ndim // bands`` hashes fold through a golden-ratio
+    multiply-add chain with a final avalanche; equal band slices always map
+    to equal keys, so hash collisions can only ADD candidate pairs — which
+    the LSH consumer verifies anyway (``examples/dedup_minhash.py``).
+
+    Accepts a device (jax) array — the intended use with
+    ``Fingerprints(..., device_out=True)``, pulling 4*bands bytes/doc
+    instead of 8*ndim — or a host numpy array (same bits either way;
+    int32 arithmetic wraps mod 2^32 on both).
+
+    Reference analog: the hashed-band bucketing its docs recommend over
+    ``szs::Fingerprints`` output (README.md:931-943); the reference leaves
+    banding to the caller, so the key mix here is this framework's own.
+    """
+    import jax.lax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(min_hashes).view(jnp.int32)
+    n, ndim = x.shape
+    if ndim % bands:
+        raise ValueError(f"ndim {ndim} not divisible into {bands} bands")
+    r = ndim // bands
+    t = x.reshape(n, bands, r)
+    key = jnp.zeros((n, bands), jnp.int32)
+    for j in range(r):  # static unroll: r is small (4-16)
+        key = key * jnp.int32(-1640531527) + t[:, :, j]  # 2^32 / phi
+    # final avalanche (murmur3-style) so low-entropy tails still spread
+    key = key ^ jax.lax.shift_right_logical(key, 16)
+    key = key * jnp.int32(-2048144789)
+    key = key ^ jax.lax.shift_right_logical(key, 13)
+    return key.view(jnp.uint32)
 
 DEFAULT_WINDOW_WIDTHS = (3, 4, 5, 7, 9, 11, 15, 31)  # fingerprints.cuh:42
 MODULO_BASE = 4503599626977  # serial.hpp:1247 default_modulo_base_k

@@ -132,3 +132,30 @@ def test_fingerprints_reference_golden_vectors():
         assert h.shape == (1, 64 * nw)
         assert list(map(int, h[0])) == case["hashes"], (case["seed"], nw, len(doc))
         assert list(map(int, c[0])) == case["counts"], (case["seed"], nw, len(doc))
+
+
+def test_device_out_and_band_keys(rng):
+    """device_out returns the same bits as the host path, without the pull;
+    band_keys groups equal band slices and only equal ones (on this corpus)."""
+    import numpy as np
+
+    from stringzilla_tpu import Fingerprints
+    from stringzilla_tpu.ops.fingerprints import band_keys
+
+    docs = [bytes(rng.integers(97, 123, int(rng.integers(40, 200))).astype(np.uint8))
+            for _ in range(37)]
+    docs.append(docs[0])  # exact duplicate must share every band bucket
+    eng = Fingerprints(ndim=128)
+    h_host, c_host = eng(docs)
+    h_dev, c_dev = eng(docs, device_out=True)
+    np.testing.assert_array_equal(np.asarray(h_dev), h_host)
+    np.testing.assert_array_equal(np.asarray(c_dev), c_host)
+
+    keys = np.asarray(band_keys(h_dev, bands=16))
+    assert keys.shape == (len(docs), 16) and keys.dtype == np.uint32
+    # equal slices -> equal keys (the duplicate), and keys computed on host
+    # numpy give the same bits
+    np.testing.assert_array_equal(keys[0], keys[-1])
+    np.testing.assert_array_equal(keys, np.asarray(band_keys(h_host, bands=16)))
+    # distinct docs should (overwhelmingly) not collide in every band
+    assert not any((keys[i] == keys[0]).all() for i in range(1, len(docs) - 1))
