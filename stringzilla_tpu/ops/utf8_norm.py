@@ -177,28 +177,6 @@ def _first_divergent(runes: np.ndarray, form: str) -> int:
     return -1
 
 
-def _islands(arr: np.ndarray):
-    """Non-ASCII byte islands, each extended ONE ASCII char backward.
-
-    ASCII is stable under every normal form (no decompositions, ccc 0,
-    QC Yes), and ASCII characters never pair-compose — so normalization can
-    only rewrite bytes inside a maximal non-ASCII run plus, through
-    recomposition, the single character immediately before it (e + ◌́ → é).
-    A window per island, bounded by untouched ASCII on both sides, is
-    therefore exact: nothing can interact across a window boundary.
-
-    Yields ``(w0, w1)`` byte ranges (w0 includes the backward extension).
-    """
-    hi = np.nonzero(arr >= 0x80)[0]
-    if hi.size == 0:
-        return
-    gaps = np.nonzero(np.diff(hi) > 1)[0]
-    starts = np.concatenate([[hi[0]], hi[gaps + 1]])
-    ends = np.concatenate([hi[gaps] + 1, [hi[-1] + 1]])
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        yield (s - 1 if s > 0 else 0), e
-
-
 def _dispatch(data, form: str):
     """Common entry. ONE batched scan decides which islands are suspect:
     the pure non-ASCII runs are concatenated (space-separated — islands
@@ -216,16 +194,23 @@ def _dispatch(data, form: str):
     arr = np.frombuffer(buf, dtype=np.uint8)
     if form not in _FORMS:
         raise ValueError(f"form must be one of {_FORMS}")
-    wins = list(_islands(arr))
-    if not wins:
+    # Vectorized island enumeration (the per-island Python loop was the
+    # clean-corpus bottleneck): maximal non-ASCII runs via nonzero+diff,
+    # their concatenation is just arr[hi], separators inserted at the
+    # cumulative run lengths.  Windowing per island is EXACT: ASCII is
+    # stable under every normal form (no decompositions, ccc 0, QC Yes)
+    # and never pair-composes, so normalization can only rewrite bytes
+    # inside a maximal non-ASCII run plus — through recomposition — the
+    # single character immediately before it (e + ◌́ → é); nothing
+    # interacts across a window boundary.
+    hi = np.nonzero(arr >= 0x80)[0]
+    if hi.size == 0:
         return buf, []
-    sep = np.array([32], np.uint8)
-    parts = []
-    for w0, w1 in wins:
-        core0 = w0 + 1 if arr[w0] < 0x80 else w0  # drop the ASCII extension
-        parts.append(arr[core0:w1])
-        parts.append(sep)
-    cat = np.concatenate(parts).tobytes()
+    gaps = np.nonzero(np.diff(hi) > 1)[0]
+    starts = np.concatenate([[hi[0]], hi[gaps + 1]])
+    ends = np.concatenate([hi[gaps] + 1, [hi[-1] + 1]])
+    w0s = np.maximum(starts - 1, 0)  # one-ASCII-char recomposition reach
+    cat = np.insert(arr[hi], np.cumsum(ends - starts), 32).tobytes()
     try:
         from .segment import decode_runes
 
@@ -246,7 +231,7 @@ def _dispatch(data, form: str):
     suspect_ids = np.unique(island_id[bad])
     out = []
     for i in suspect_ids.tolist():
-        w0, w1 = wins[i]
+        w0, w1 = int(w0s[i]), int(ends[i])
         out.append((w0, w1, utf8_decode(buf[w0:w1])))
     return buf, out
 
