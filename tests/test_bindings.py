@@ -73,3 +73,28 @@ def test_foreign_sources_track_header():
         unknown = used - exported
         assert not unknown, f"{rel} references non-ABI symbols: {unknown}"
         assert len(used) >= 8, f"{rel} binds too little of the ABI"
+
+
+def test_c_engine_client(tmp_path):
+    """A compiled C program speaks the engine serving protocol end-to-end —
+    the cross-language proof for the process-boundary engine ABI
+    (reference analog: a C consumer of the szs_* entry points)."""
+    import threading
+
+    from stringzilla_tpu.serve import EngineServer
+
+    src = os.path.join(REPO, "bindings", "c", "engine_client.c")
+    binp = tmp_path / "engine_client"
+    proc = subprocess.run(["gcc", "-O2", "-o", str(binp), src],
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    sock = str(tmp_path / "engines.sock")
+    server = EngineServer(sock)
+    server.start_background()
+    try:
+        run = subprocess.run([str(binp), sock], capture_output=True,
+                             text=True, timeout=300)
+        assert run.returncode == 0, (run.stdout, run.stderr)
+        assert run.stdout.count("PASS") == 2, run.stdout
+    finally:
+        server.shutdown()
