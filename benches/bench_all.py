@@ -289,6 +289,13 @@ def bench_nw_proteins(rng):
     dt = timed(lambda: eng(qs, cs))
     emit("needleman_wunsch_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
 
+    sw = sz.SmithWatermanScores(byte_to_class=b2c,
+                                class_substitution_costs=table,
+                                open=-5, extend=-5)
+    dt = timed(lambda: sw(qs, cs))
+    # reference smith_waterman baselines mirror the NW ones (bench/similarities.cpp)
+    emit("smith_waterman_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
+
 
 def bench_utf8_host(rng):
     """Host (native C++) tier rows: full case folding + uncased search on an
