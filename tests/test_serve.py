@@ -46,6 +46,31 @@ def test_serve_nw_classes(client):
     np.testing.assert_array_equal(out, np.asarray(eng(qs, cs)))
 
 
+def test_serve_levenshtein_utf8(client):
+    qs = ["héllo".encode(), b"plain"]
+    cs = [b"hello", "hèllo".encode()]
+    (out,) = client.call("levenshtein_utf8",
+                         tapes={"queries": qs, "candidates": cs})
+    np.testing.assert_array_equal(
+        out, np.asarray(sz.LevenshteinDistancesUTF8()(qs, cs)))
+
+
+def test_serve_smith_waterman(client):
+    rng = np.random.default_rng(9)
+    b2c = (np.arange(256) % 20).astype(np.uint8)
+    table = rng.integers(-3, 6, (32, 32)).astype(np.int32)
+    qs = [b"GATTACA"]
+    cs = [b"TACO", b"GATTA"]
+    (out,) = client.call(
+        "smith_waterman", open=-2, extend=-2,
+        tapes={"queries": qs, "candidates": cs},
+        arrays={"byte_to_class": b2c, "costs": table})
+    eng = sz.SmithWatermanScores(byte_to_class=b2c,
+                                 class_substitution_costs=table,
+                                 open=-2, extend=-2)
+    np.testing.assert_array_equal(out, np.asarray(eng(qs, cs)))
+
+
 def test_serve_fingerprints(client):
     docs = [b"the quick brown fox jumps over the lazy dog" * 3,
             b"pack my box with five dozen liquor jugs" * 2]
