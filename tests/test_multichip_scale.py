@@ -73,3 +73,22 @@ def test_engine_8shard_nw_classes(mesh):
     out = eng(qs, cs, device=sz.DeviceScope(mesh=mesh))
     ref = eng(qs[:8], cs[:512])
     np.testing.assert_array_equal(out[:8, :512], ref)
+
+
+def test_fingerprints_8shard_with_band_keys(mesh):
+    """Sharded MinHash at a realistic doc count (2048 docs over 8 shards)
+    equals the single-device engine bit-for-bit, and the downstream LSH
+    band keys agree — the full device-resident dedup path under sharding."""
+    from stringzilla_tpu.ops.fingerprints import band_keys
+
+    rng = np.random.default_rng(5)
+    docs = [bytes(rng.integers(97, 123, int(l)).astype(np.uint8))
+            for l in rng.integers(50, 220, 2048)]
+    eng = sz.Fingerprints(ndim=128)
+    h_sh, c_sh = eng(docs, device=sz.DeviceScope(mesh=mesh))
+    h_one, c_one = eng(docs[:256])
+    np.testing.assert_array_equal(h_sh[:256], h_one)
+    np.testing.assert_array_equal(c_sh[:256], c_one)
+    k_sh = np.asarray(band_keys(h_sh, bands=16))
+    k_one = np.asarray(band_keys(h_one, bands=16))
+    np.testing.assert_array_equal(k_sh[:256], k_one)
