@@ -275,13 +275,15 @@ def fold_runes(runes: np.ndarray, fold1: np.ndarray, mkeys: np.ndarray,
 
 def utf8_fold_bytes(data: np.ndarray, fold1: np.ndarray, mkeys: np.ndarray,
                     moffs: np.ndarray, mvals: np.ndarray) -> np.ndarray | None:
-    """Fused decode→fold→encode of a UTF-8 buffer (ASCII fast path)."""
+    """Fused decode→fold→encode of a UTF-8 buffer (ASCII fast path).
+    Returns a view into per-thread scratch — copy (``bytes(...)``) before
+    the next native call on this thread."""
     L = lib()
     if L is None:
         return None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.empty(3 * n + 16, dtype=np.uint8)
+    out = _scratch_u8(3 * n + 16)  # caller copies (bytes()) before reuse
     m = L.tc_utf8_fold_bytes(_ptr(data), n, _ptr(np.ascontiguousarray(fold1)),
                              _ptr(np.ascontiguousarray(mkeys)),
                              _ptr(np.ascontiguousarray(moffs)),
@@ -434,6 +436,16 @@ def _scratch_i64(cap: int) -> np.ndarray:
         buf = np.empty(int(cap * 5 // 4) + 64, np.int64)
         buf[:: 4096 // 8] = 0  # pre-touch one word per page
         _seg_scratch.i64 = buf
+    return buf
+
+
+def _scratch_u8(cap: int) -> np.ndarray:
+    """Reusable per-thread byte scratch (same rationale as ``_scratch_i64``)."""
+    buf = getattr(_seg_scratch, "u8", None)
+    if buf is None or buf.shape[0] < cap:
+        buf = np.empty(int(cap * 5 // 4) + 64, np.uint8)
+        buf[::4096] = 0  # pre-touch one byte per page
+        _seg_scratch.u8 = buf
     return buf
 
 
