@@ -95,3 +95,18 @@ def test_serve_error_then_recover(client):
     # The worker must survive a failed request and keep serving.
     (hashes,) = client.call("hash", tapes={"texts": [b"y"]})
     assert hashes[0] == sz.hash(b"y")
+
+
+def test_serve_fuzz_random_tapes(client, rng, iterations):
+    """Randomized tapes (including empty strings and empty collections) through
+    the wire must match the in-process engines exactly."""
+    for _ in range(iterations(10)):
+        nq = int(rng.integers(1, 6))
+        nc = int(rng.integers(1, 12))
+        qs = [bytes(rng.integers(97, 103, int(rng.integers(0, 40))).astype(np.uint8))
+              for _ in range(nq)]
+        cs = [bytes(rng.integers(97, 103, int(rng.integers(0, 40))).astype(np.uint8))
+              for _ in range(nc)]
+        (out,) = client.call("levenshtein", tapes={"queries": qs, "candidates": cs})
+        np.testing.assert_array_equal(
+            out, np.asarray(sz.LevenshteinDistances()(qs, cs)))
