@@ -8,12 +8,19 @@
 // python/stringzilla.c). This is the TPU build's equivalent: a small C++17
 // shared library driven through ctypes (no pybind11 in the image).
 //
-// All functions are plain-C ABI, operate on caller-owned buffers, and are
-// thread-free (callers parallelize if they care; packing is memory-bound).
+// All functions are plain-C ABI and operate on caller-owned buffers.
+// Single-string ops are thread-free; the *batch* tape entry points fan out
+// across cores (the role the reference's ForkUnion pool plays for its batch
+// engines, reference include/stringzillas/types.hpp:133-234) — disjoint
+// output cells, static byte-balanced partition, no shared state. The fan-out
+// is capped by TC_THREADS (default: all hardware threads) and collapses to
+// the inline loop when the work is too small to pay a spawn.
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #if defined(__x86_64__) || defined(__i386__)
@@ -25,6 +32,75 @@
 #define TC_SHANI 1
 #endif
 #endif
+
+// Thread budget for batch entry points. TC_THREADS is re-read per call so
+// tests can flip it without reloading the library; hardware count is cached.
+static int tc_thread_budget_() {
+    static const int hw = [] {
+        int n = (int)std::thread::hardware_concurrency();
+        return n > 0 ? n : 1;
+    }();
+    const char* env = std::getenv("TC_THREADS");
+    if (env && *env) {
+        long v = std::strtol(env, nullptr, 10);
+        if (v >= 1) return v < 1024 ? (int)v : 1024;
+    }
+    return hw;
+}
+
+// Fan a tape loop [0, count) across threads, partitioned by *byte mass* (a
+// tape's offsets are monotone), so a batch of one huge and many tiny docs
+// still balances. `min_bytes` is the smallest per-thread share worth a spawn
+// (~0.5 ms of hashing work); below it the loop runs inline. `body(lo, hi)`
+// must only write output cells for rows in [lo, hi).
+template <typename F>
+static void tc_parallel_tape_(const int64_t* offsets, int64_t count,
+                              int64_t min_bytes, F&& body) {
+    int parts = tc_thread_budget_();
+    int64_t total = (offsets && count > 0) ? offsets[count] - offsets[0] : 0;
+    if (parts > 1 && min_bytes > 0 && total / parts < min_bytes)
+        parts = (int)(total / min_bytes);
+    if (parts > count) parts = (int)count;
+    if (parts <= 1) { body((int64_t)0, count); return; }
+    std::vector<int64_t> bounds((size_t)parts + 1);
+    bounds[0] = 0;
+    bounds[(size_t)parts] = count;
+    for (int p = 1; p < parts; ++p) {
+        int64_t target = offsets[0] + total / parts * p;
+        bounds[(size_t)p] =
+            std::lower_bound(offsets, offsets + count, target) - offsets;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)parts - 1);
+    for (int p = 1; p < parts; ++p)
+        pool.emplace_back([&body, &bounds, p] {
+            body(bounds[(size_t)p], bounds[(size_t)p + 1]);
+        });
+    body(bounds[0], bounds[1]);
+    for (auto& t : pool) t.join();
+}
+
+// Same fan-out for loops without a tape (overlapping spans, plain counts):
+// partitioned by row count.
+template <typename F>
+static void tc_parallel_n_(int64_t count, int64_t min_rows, F&& body) {
+    int parts = tc_thread_budget_();
+    if (parts > 1 && min_rows > 0 && count / parts < min_rows)
+        parts = (int)(count / min_rows);
+    if (parts > count) parts = (int)count;
+    if (parts <= 1) { body((int64_t)0, count); return; }
+    int64_t chunk = (count + parts - 1) / parts;
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)parts - 1);
+    for (int p = 1; p < parts; ++p) {
+        int64_t lo = chunk * p;
+        int64_t hi = lo + chunk < count ? lo + chunk : count;
+        if (lo >= hi) break;
+        pool.emplace_back([&body, lo, hi] { body(lo, hi); });
+    }
+    body((int64_t)0, chunk < count ? chunk : count);
+    for (auto& t : pool) t.join();
+}
 
 extern "C" {
 
@@ -1834,8 +1910,12 @@ uint64_t tc_hash(const uint8_t* data, int64_t n, uint64_t seed) {
 // engines; device tier is only worth the link crossing for resident data).
 void tc_hash_batch(const uint8_t* data, const int64_t* offsets, int64_t count,
                    uint64_t seed, uint64_t* out) {
-    for (int64_t i = 0; i < count; ++i)
-        out[i] = tc_hash(data + offsets[i], offsets[i + 1] - offsets[i], seed);
+    tc_parallel_tape_(offsets, count, (int64_t)1 << 20,
+                      [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            out[i] =
+                tc_hash(data + offsets[i], offsets[i + 1] - offsets[i], seed);
+    });
 }
 
 // Hashes over (start, end) spans of one buffer — the zero-copy Strs path:
@@ -1843,8 +1923,10 @@ void tc_hash_batch(const uint8_t* data, const int64_t* offsets, int64_t count,
 void tc_hash_bounds(const uint8_t* data, const int64_t* starts,
                     const int64_t* ends, int64_t count, uint64_t seed,
                     uint64_t* out) {
-    for (int64_t i = 0; i < count; ++i)
-        out[i] = tc_hash(data + starts[i], ends[i] - starts[i], seed);
+    tc_parallel_n_(count, (int64_t)4096, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            out[i] = tc_hash(data + starts[i], ends[i] - starts[i], seed);
+    });
 }
 
 // AES-CTR pseudo-random fill (sz_fill_random, hash/serial.h:953-968):
@@ -2020,11 +2102,14 @@ void tc_sha256(const uint8_t* data, int64_t n, uint8_t* out32) {
 
 void tc_sha256_batch(const uint8_t* data, const int64_t* offsets,
                      int64_t count, uint8_t* out) {
-    for (int64_t i = 0; i < count; ++i)
-        tc_sha256(data + offsets[i], offsets[i + 1] - offsets[i],
-                  out + 32 * i);
+    tc_parallel_tape_(offsets, count, (int64_t)1 << 20,
+                      [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            tc_sha256(data + offsets[i], offsets[i + 1] - offsets[i],
+                      out + 32 * i);
+    });
 }
 
-int tc_version(void) { return 6; }
+int tc_version(void) { return 7; }
 
 }  // extern "C"

@@ -248,10 +248,20 @@ def hash_multiseed(data: bytes, seeds) -> np.ndarray:
 def hash_batch(items, seed: int = 0) -> np.ndarray:
     """Vectorized ``sz_hash`` over a collection — strings grouped by 16-byte
     block count advance through the AES pipeline together (the batch analog
-    of the reference's per-call kernel; bit-identical outputs)."""
-    items = [bytes(s) for s in items]
+    of the reference's per-call kernel; bit-identical outputs). Accepts a
+    :class:`~stringzilla_tpu.ops.tape.Tape` directly, in which case the
+    native tier consumes the tape's data + offsets with no per-item copies
+    (the serving hot path)."""
     from ..utils import native
+    from .tape import Tape
 
+    if isinstance(items, Tape):
+        tape = items
+        if isinstance(tape.data, np.ndarray) and native.lib() is not None:
+            return native.hash_tape(tape.data, tape.offsets, seed)
+        items = [bytes(tape[i]) for i in range(len(tape))]
+    else:
+        items = [bytes(s) for s in items]
     if native.lib() is not None:
         offsets = np.zeros(len(items) + 1, dtype=np.int64)
         if items:

@@ -138,15 +138,14 @@ class EngineServer:
         if op == "hash":
             from .ops.hash import hash_batch
 
-            tape = _tape(blocks, "texts")
-            return [hash_batch([bytes(tape[i]) for i in range(len(tape))],
+            # Tape-native: the wire blocks already ARE the (data, offsets)
+            # layout the native batch tier consumes — no per-item copies.
+            return [hash_batch(_tape(blocks, "texts"),
                                seed=int(header.get("seed", 0)))]
         if op == "sha256":
             from .ops.sha256 import sha256_batch
 
-            tape = _tape(blocks, "texts")
-            return [np.asarray(sha256_batch(
-                [bytes(tape[i]) for i in range(len(tape))]))]
+            return [np.asarray(sha256_batch(_tape(blocks, "texts")))]
         raise ValueError(f"unknown op {op!r}")
 
     # --- lifecycle --------------------------------------------------------

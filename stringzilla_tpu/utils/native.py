@@ -24,7 +24,7 @@ __all__ = ["lib", "available", "pack_i32", "pack_u8", "tokenize_ws",
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native", "tapecraft.cpp")
-_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread"]
 
 _lock = threading.Lock()
 _lib = None

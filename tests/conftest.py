@@ -34,8 +34,12 @@ def rng():
 @pytest.fixture(scope="session")
 def iterations():
     """Scale fuzz-test iteration counts (the reference's reproducible-fuzzing
-    knob ``SZ_TESTS_MULTIPLIER``, reference ``CONTRIBUTING.md:183-236``)."""
-    mult = float(os.environ.get("SZ_TESTS_MULTIPLIER", "1"))
+    knob ``SZ_TESTS_MULTIPLIER``, reference ``CONTRIBUTING.md:183-236``).
+
+    The default (0.5) pins the full suite under the 10-minute CI budget on
+    the 1-core image (measured wall time in README); nightly/deep runs set
+    ``SZ_TESTS_MULTIPLIER=10`` for the reference-depth sweeps."""
+    mult = float(os.environ.get("SZ_TESTS_MULTIPLIER", "0.5"))
     return lambda base: max(1, int(base * mult))
 
 

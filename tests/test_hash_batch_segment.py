@@ -90,3 +90,31 @@ def test_hash_long_device_kernel(rng):
     got = hash_batch_device(items, 9)
     for i, s in enumerate(items):
         assert got[i] == sz_hash(s, 9), (i, len(s))
+
+
+def test_batch_entry_points_threaded(rng, monkeypatch):
+    """The native batch tape loops fan out across cores (TC_THREADS); the
+    partition is by byte mass, so one huge doc among tiny ones still lands
+    every row exactly once. Differential: forced 4-thread vs forced-serial
+    runs must be bit-identical (reference analog: ForkUnion batch fan-out,
+    include/stringzillas/types.hpp:133-234)."""
+    from stringzilla_tpu.utils import native
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    items = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+             for n in list(rng.integers(0, 500, 300)) + [200_000, 3, 70_000]]
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in items], out=offsets[1:])
+    blob = np.frombuffer(b"".join(items), dtype=np.uint8)
+    monkeypatch.setenv("TC_THREADS", "1")
+    h1 = native.hash_tape(blob, offsets, 42).copy()
+    s1 = native.sha256_tape(blob, offsets).copy()
+    b1 = native.hash_bounds(blob, offsets[:-1], offsets[1:], 42).copy()
+    monkeypatch.setenv("TC_THREADS", "4")
+    assert np.array_equal(native.hash_tape(blob, offsets, 42), h1)
+    assert np.array_equal(native.sha256_tape(blob, offsets), s1)
+    assert np.array_equal(
+        native.hash_bounds(blob, offsets[:-1], offsets[1:], 42), b1)
