@@ -363,6 +363,7 @@ def bench_utf8_count_device(rng):
 
 def bench_fingerprints(rng):
     from stringzilla_tpu.models.fingerprints import Fingerprints
+    from stringzilla_tpu.ops.fingerprints import band_keys
 
     docs = [bytes(rng.integers(32, 127, int(rng.integers(60, 180)))
                   .astype(np.uint8)) for _ in range(32768)]
@@ -376,6 +377,82 @@ def bench_fingerprints(rng):
     # ndim rolling-hash dimensions per input byte; no published reference
     # throughput row (recall@10 parity is tracked by recall_fingerprints.py)
     emit("fingerprints_minhash", total * 256 / dt / 1e9, "Ghash/s", 1.0)
+
+    # Device-resident consumer path: hashes stay in HBM, only 4*bands
+    # bytes/doc of LSH band keys cross back (32x less D2H than the
+    # (hashes, counts) pull above). Baseline = the host-pull row measured
+    # seconds ago in this same window, so vs_baseline reads as the speedup
+    # of keeping the product on device.
+    def device_pipeline():
+        dh, dc = eng(docs, device_out=True)
+        return np.asarray(band_keys(dh, bands=16))
+
+    device_pipeline()  # warm band_keys compile
+    t0 = time.perf_counter()
+    keys = device_pipeline()
+    dt_dev = time.perf_counter() - t0
+    assert keys.shape == (len(docs), 16)
+    emit("fingerprints_device_out", total * 256 / dt_dev / 1e9, "Ghash/s",
+         total * 256 / dt / 1e9)
+
+
+def bench_serve(rng):
+    """Engine calls over the serving socket vs in-process at the same
+    shape — the protocol overhead row (VERDICT r3 ask #4b). Two contrasting
+    workloads: a device-bound DP engine call (overhead should vanish) and a
+    host-native hash batch (overhead is the whole story). vs_baseline is
+    the in-process rate measured in the same window."""
+    import tempfile
+
+    import stringzilla_tpu as sz
+    from stringzilla_tpu.ops.hash import hash_batch
+    from stringzilla_tpu.ops.tape import Tape
+    from stringzilla_tpu.serve import EngineClient, EngineServer
+
+    sock = os.path.join(tempfile.mkdtemp(), "bench.sock")
+    server = EngineServer(sock)
+    server.start_background()
+    client = EngineClient(sock)
+
+    # --- levenshtein at a bench-like shape: 32 queries x 1024 candidates
+    qs = [bytes(rng.integers(97, 123, int(rng.integers(80, 120)))
+                .astype(np.uint8)) for _ in range(32)]
+    cs = [bytes(rng.integers(97, 123, int(rng.integers(80, 120)))
+                .astype(np.uint8)) for _ in range(1024)]
+    cells = float(np.outer([len(q) for q in qs], [len(c) for c in cs]).sum())
+    eng = sz.LevenshteinDistances()
+    eng(qs, cs)  # compile
+    t0 = time.perf_counter()
+    ref = eng(qs, cs)
+    dt_local = time.perf_counter() - t0
+    client.call("levenshtein", tapes={"queries": qs, "candidates": cs})  # warm
+    t0 = time.perf_counter()
+    (wire,) = client.call("levenshtein", tapes={"queries": qs, "candidates": cs})
+    dt_wire = time.perf_counter() - t0
+    assert np.array_equal(np.asarray(ref), wire)
+    emit("serve_levenshtein", cells / dt_wire / 1e9, "GCUPS",
+         cells / dt_local / 1e9)
+
+    # --- hash batch: 2^18 ~8-byte tokens (host-native; wire cost dominates)
+    N = 1 << 18
+    lens = rng.integers(4, 13, N)
+    blob = rng.integers(97, 123, int(lens.sum()), dtype=np.uint8)
+    offsets = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    tape = Tape(data=blob, offsets=offsets)
+    t0 = time.perf_counter()
+    local = hash_batch(tape, seed=0)
+    dt_local = time.perf_counter() - t0
+    client.call("hash", tapes={"texts": tape}, seed=0)  # warm
+    t0 = time.perf_counter()
+    (wire,) = client.call("hash", tapes={"texts": tape}, seed=0)
+    dt_wire = time.perf_counter() - t0
+    assert np.array_equal(local, wire)
+    emit("serve_hash_tokens", N / dt_wire / 1e6, "Mtokens/s",
+         N / dt_local / 1e6)
+
+    client.close()
+    server.shutdown()
 
 
 def bench_wavefront(rng):
@@ -401,6 +478,7 @@ BENCHES = {
     "levenshtein": bench_levenshtein,
     "nw_proteins": bench_nw_proteins,
     "fingerprints": bench_fingerprints,
+    "serve": bench_serve,
     "utf8_count_device": bench_utf8_count_device,
     "utf8_host": bench_utf8_host,
     "wavefront": bench_wavefront,

@@ -163,6 +163,64 @@ int main(int argc, char** argv) {
         return 1;
     }
     printf("seeded hash over the wire: PASS\n");
+
+    /* ---- fingerprints: 3 docs x 64 dims ---------------------------- */
+    /* docs 0 and 2 are identical -> identical MinHash rows; doc 1 is
+     * different -> its row must differ somewhere. Response carries TWO
+     * blocks (min_hashes, min_counts), each (3, 64) uint32. */
+    {
+        enum { NDOC = 3, NDIM = 64 };
+        const char* docs[] = {
+            "the quick brown fox jumps over the lazy dog again and again",
+            "entirely different payload with other shingles inside of it",
+            "the quick brown fox jumps over the lazy dog again and again"};
+        int64_t doff[NDOC + 1] = {0};
+        char dblob[256];
+        size_t dlen = 0;
+        for (int i = 0; i < NDOC; i++) {
+            size_t l = strlen(docs[i]);
+            memcpy(dblob + dlen, docs[i], l);
+            dlen += l;
+            doff[i + 1] = (int64_t)dlen;
+        }
+        hlen = snprintf(
+            hdr, sizeof hdr,
+            "{\"op\": \"fingerprints\", \"ndim\": %d, \"payload\": ["
+            "[\"texts_offsets\", \"int64\", [%d]], [\"texts_data\", \"uint8\", [%zu]]]}",
+            NDIM, NDOC + 1, dlen);
+        n32 = (uint32_t)hlen;
+        if (send_all(fd, &n32, 4) || send_all(fd, hdr, (size_t)hlen) ||
+            send_all(fd, doff, sizeof(int64_t) * (NDOC + 1)) ||
+            send_all(fd, dblob, dlen))
+            return 2;
+        if (recv_all(fd, &n32, 4)) return 2;
+        if (n32 >= sizeof rhdr || recv_all(fd, rhdr, n32)) return 2;
+        rhdr[n32] = 0;
+        if (!strstr(rhdr, "\"ok\": true")) {
+            fprintf(stderr, "FAIL fingerprints: %s\n", rhdr);
+            return 1;
+        }
+        uint32_t mh[NDOC][NDIM], mc[NDOC][NDIM];
+        if (recv_all(fd, mh, sizeof mh) || recv_all(fd, mc, sizeof mc))
+            return 2;
+        int differs = 0;
+        for (int d = 0; d < NDIM; d++) {
+            if (mh[0][d] != mh[2][d] || mc[0][d] != mc[2][d]) {
+                fprintf(stderr, "FAIL fingerprints identical docs d=%d\n", d);
+                return 1;
+            }
+            if (mh[0][d] != mh[1][d]) differs = 1;
+            if (mc[0][d] == 0 || mc[1][d] == 0) {
+                fprintf(stderr, "FAIL count-min zero d=%d\n", d);
+                return 1;
+            }
+        }
+        if (!differs) {
+            fprintf(stderr, "FAIL fingerprints: distinct docs collide\n");
+            return 1;
+        }
+        printf("fingerprints over the wire: PASS\n");
+    }
     close(fd);
     return 0;
 }

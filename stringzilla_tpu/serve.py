@@ -195,6 +195,13 @@ class EngineClient:
 
     @staticmethod
     def _pack_tape(name: str, items) -> dict[str, np.ndarray]:
+        from .ops.tape import Tape
+
+        if isinstance(items, Tape):  # zero-copy: already the wire layout
+            return {f"{name}_offsets": np.ascontiguousarray(items.offsets,
+                                                            dtype=np.int64),
+                    f"{name}_data": np.ascontiguousarray(items.data,
+                                                         dtype=np.uint8)}
         data = b"".join(bytes(x) if not isinstance(x, str) else x.encode("utf-8")
                         for x in items)
         offsets = np.zeros(len(items) + 1, dtype=np.int64)

@@ -95,6 +95,31 @@ def test_c_engine_client(tmp_path):
         run = subprocess.run([str(binp), sock], capture_output=True,
                              text=True, timeout=300)
         assert run.returncode == 0, (run.stdout, run.stderr)
-        assert run.stdout.count("PASS") == 2, run.stdout
+        assert run.stdout.count("PASS") == 3, run.stdout
     finally:
         server.shutdown()
+
+
+def test_java_engine_client_tracks_protocol():
+    """The managed-runtime serve client (bindings/java/EngineClient.java,
+    pure JDK sockets — no C toolchain involved) must only speak ops the
+    server implements and must follow the tape naming contract
+    (<name>_offsets / <name>_data) and the 4-byte little-endian framing.
+    No JDK exists in this image, so this is the drift guard; the identical
+    byte protocol is executed in CI by the compiled C client."""
+    import re
+
+    serve = open(os.path.join(REPO, "stringzilla_tpu", "serve.py")).read()
+    served_ops = set(re.findall(r'op (?:==|in \()\s*"([a-z_]+)"', serve))
+    served_ops |= set(re.findall(r'"([a-z_]+)"(?:\s*,|\))', serve.split(
+        'if op in ("levenshtein"', 1)[1][:200]))
+    java = open(os.path.join(REPO, "bindings", "java",
+                             "EngineClient.java")).read()
+    spoken = set(re.findall(r'call\("([a-z_]+)"', java))
+    assert spoken, "Java client calls no ops"
+    unknown = spoken - served_ops
+    assert not unknown, f"Java client speaks unserved ops: {unknown}"
+    assert "_offsets" in java and "_data" in java
+    assert "LITTLE_ENDIAN" in java
+    # the response check string must match the server's literal JSON form
+    assert '\\"ok\\": true' in java and '"ok": True' not in java
