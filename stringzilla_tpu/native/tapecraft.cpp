@@ -883,8 +883,10 @@ static inline void tc_sb_skip_(const uint8_t* data, int64_t n, int64_t* pi) {
 // One streaming pass — no rune buffers; the SB8 lookahead ("first
 // significant class after here") is computed on demand and memoized, which
 // stays O(n) because rescans always start past the previous answer.
-int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
-                     int64_t* out, int64_t cap) {
+}  // extern "C" — pause: emitters templated on offset width (int64/int32)
+template <typename OutT>
+static int64_t tc_sb_breaks_t_(const uint8_t* data, int64_t n,
+                               const uint8_t* sb, OutT* out, int64_t cap) {
     if (n <= 0) return 0;
     const bool vec_ok = tc_sb_vec_check_(sb);
     int64_t count = 0;
@@ -1014,6 +1016,19 @@ int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
     return count;
 }
 
+extern "C" {
+int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
+                     int64_t* out, int64_t cap) {
+    return tc_sb_breaks_t_(data, n, sb, out, cap);
+}
+// 32-bit offset export: halves the output-bandwidth bill of boundary
+// materialization (the dominant cost at GB/s scan rates); n < 2^31 only.
+int64_t tc_sb_breaks32(const uint8_t* data, int64_t n, const uint8_t* sb,
+                       int32_t* out, int64_t cap) {
+    return tc_sb_breaks_t_(data, n, sb, out, cap);
+}
+// (extern "C" stays open for the rest of the file)
+
 // LB_VALUES order (ops/ucd.py):
 enum {
     LB_XX = 0, LB_BK, LB_CR, LB_LF, LB_CM, LB_NL, LB_SG, LB_WJ, LB_ZW,
@@ -1121,8 +1136,11 @@ static inline uint8_t tc_lb_resolve_(const uint8_t* lb, uint8_t b) {
     return c;
 }
 
-int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
-                     int64_t* out, uint8_t* mand, int64_t cap) {
+}  // extern "C" — pause: templated offset width
+template <typename OutT>
+static int64_t tc_lb_breaks_t_(const uint8_t* data, int64_t n,
+                               const uint8_t* lb, OutT* out, uint8_t* mand,
+                               int64_t cap) {
     if (n <= 0) return 0;
     if (!lb_tab_ready) lb_tab_init();
     // Vectorized tier legality: in runs of [A-Za-z0-9_ ] the whole cascade
@@ -1288,6 +1306,17 @@ int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
     return count;
 }
 
+extern "C" {
+int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
+                     int64_t* out, uint8_t* mand, int64_t cap) {
+    return tc_lb_breaks_t_(data, n, lb, out, mand, cap);
+}
+int64_t tc_lb_breaks32(const uint8_t* data, int64_t n, const uint8_t* lb,
+                       int32_t* out, uint8_t* mand, int64_t cap) {
+    return tc_lb_breaks_t_(data, n, lb, out, mand, cap);
+}
+// (extern "C" stays open)
+
 // GCB_VALUES order (ops/ucd.py):
 enum {
     GB_Other = 0, GB_CR, GB_LF, GB_Control, GB_Extend, GB_ZWJ, GB_RI,
@@ -1299,8 +1328,11 @@ enum {
 // ops/segment.py::grapheme_breaks (the differential oracle). The mostly-
 // ASCII fast path: Other×Other always breaks, so plain-text runs write
 // one offset per byte without re-entering the automaton.
-int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
-                     const uint8_t* ep, int64_t* out, int64_t cap) {
+}  // extern "C" — pause: templated offset width
+template <typename OutT>
+static int64_t tc_gb_breaks_t_(const uint8_t* data, int64_t n,
+                               const uint8_t* gcb, const uint8_t* ep,
+                               OutT* out, int64_t cap) {
     if (n <= 0) return 0;
     bool gb_vec_ok = true;  // every printable-ASCII byte must be plain Other
     for (int b = 0x20; b <= 0x7E; ++b)
@@ -1382,6 +1414,17 @@ int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
     }
     return count;
 }
+
+extern "C" {
+int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
+                     const uint8_t* ep, int64_t* out, int64_t cap) {
+    return tc_gb_breaks_t_(data, n, gcb, ep, out, cap);
+}
+int64_t tc_gb_breaks32(const uint8_t* data, int64_t n, const uint8_t* gcb,
+                       const uint8_t* ep, int32_t* out, int64_t cap) {
+    return tc_gb_breaks_t_(data, n, gcb, ep, out, cap);
+}
+// (extern "C" stays open)
 
 // WB_VALUES order (ops/ucd.py):
 enum {
@@ -1506,9 +1549,26 @@ static inline bool tc_wb_vec_check_(const uint8_t* wb) {
     return true;
 }
 
+}  // extern "C" — pause: templated offset width
+
+// mask → positions-of-set-bits expansion table (boundary emit fast path)
+static struct Tc_Idx8_ {
+    uint8_t t[256][8];
+    Tc_Idx8_() {
+        for (int m = 0; m < 256; ++m) {
+            int j = 0;
+            for (int b = 0; b < 8; ++b)
+                if (m & (1 << b)) t[m][j++] = (uint8_t)b;
+            for (; j < 8; ++j) t[m][j] = 0;
+        }
+    }
+} tc_idx8_s_;
+#define tc_idx8_ tc_idx8_s_.t
+
+template <typename OutT>
 static inline bool tc_wb_vector_stage_(const uint8_t* data, int64_t n,
                                        int64_t* pi, int64_t* pcount,
-                                       int64_t* out, int64_t cap,
+                                       OutT* out, int64_t cap,
                                        int64_t* resume) {
     int64_t i = *pi, count = *pcount;
     bool progressed = false;
@@ -1554,12 +1614,23 @@ static inline bool tc_wb_vector_stage_(const uint8_t* data, int64_t n,
             if (fb - base < 8)  // partial word: keep bits below fb only
                 Bb &= (1ull << ((fb - base) * 8)) - 1;
             if (out) {
-                while (Bb) {
-                    int64_t pos = i + base + (__builtin_ctzll(Bb) >> 3);
-                    Bb &= Bb - 1;
-                    if (count < cap) out[count] = pos;
-                    ++count;
+                // Compress the 8 byte-MSB flags to a bitmask, then expand
+                // via a 256-entry delta table: 8 unconditional stores per
+                // 8 input bytes, no per-boundary branch (the ctz loop it
+                // replaces dominated export mode at ~1 boundary / 3 bytes).
+                unsigned m = (unsigned)((Bb * 0x0002040810204081ull) >> 56);
+                const uint8_t* d = tc_idx8_[m];
+                int c8 = __builtin_popcount(m);
+                if (count + 8 <= cap) {
+                    int64_t p0 = i + base;
+                    for (int t = 0; t < 8; ++t)
+                        out[count + t] = (OutT)(p0 + d[t]);
+                } else {
+                    for (int t = 0; t < c8; ++t)
+                        if (count + t < cap)
+                            out[count + t] = (OutT)(i + base + d[t]);
                 }
+                count += c8;
             } else {  // count/drain mode: popcount, no enumeration
                 count += __builtin_popcountll(Bb);
             }
@@ -1591,8 +1662,10 @@ static inline bool wb_decide_(uint8_t p2, uint8_t p1, uint8_t c0, uint8_t nx,
                     wb_cls20_(c0)) * 20 + wb_cls20_(nx)] != 0;
 }
 
-int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
-                     const uint8_t* ep, int64_t* out, int64_t cap) {
+template <typename OutT>
+static int64_t tc_wb_breaks_t_(const uint8_t* data, int64_t n,
+                               const uint8_t* wb, const uint8_t* ep,
+                               OutT* out, int64_t cap) {
     if (n <= 0) return 0;
     if (!wb_tab_ready_) wb_tab_init_();
     const bool vec_ok = tc_wb_vec_check_(wb);
@@ -1744,6 +1817,17 @@ int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
     }
     return count;
 }
+
+extern "C" {
+int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
+                     const uint8_t* ep, int64_t* out, int64_t cap) {
+    return tc_wb_breaks_t_(data, n, wb, ep, out, cap);
+}
+int64_t tc_wb_breaks32(const uint8_t* data, int64_t n, const uint8_t* wb,
+                       const uint8_t* ep, int32_t* out, int64_t cap) {
+    return tc_wb_breaks_t_(data, n, wb, ep, out, cap);
+}
+// (extern "C" stays open)
 
 // ---- 64-bit AES-mixing hash (the reference's sz_hash contract) ----
 //

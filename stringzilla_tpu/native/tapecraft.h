@@ -115,6 +115,14 @@ int64_t tc_wb_breaks(const uint8_t* data, int64_t n, const uint8_t* wb,
 int64_t tc_gb_breaks(const uint8_t* data, int64_t n, const uint8_t* gcb,
                      const uint8_t* ep, int64_t* out, int64_t cap);
 
+/* 32-bit-offset export variants (n < 2^31): identical semantics, half the
+ * output bandwidth — the dominant cost when materializing one boundary per
+ * byte (plain-ASCII graphemes). */
+int64_t tc_wb_breaks32(const uint8_t* data, int64_t n, const uint8_t* wb,
+                       const uint8_t* ep, int32_t* out, int64_t cap);
+int64_t tc_gb_breaks32(const uint8_t* data, int64_t n, const uint8_t* gcb,
+                       const uint8_t* ep, int32_t* out, int64_t cap);
+
 /* ---- checksums & hashing ---- */
 
 uint64_t tc_bytesum(const uint8_t* data, int64_t n);
@@ -192,12 +200,16 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
  * stringzilla_tpu.ops.ucd.SB_VALUES (dump once with numpy .tofile()). */
 int64_t tc_sb_breaks(const uint8_t* data, int64_t n, const uint8_t* sb,
                      int64_t* out, int64_t cap);
+int64_t tc_sb_breaks32(const uint8_t* data, int64_t n, const uint8_t* sb,
+                       int32_t* out, int64_t cap);
 
 /* UAX-14 line-break opportunities (LB2-LB31 core cascade): writes up to
  * `cap` byte offsets and 0/1 mandatory flags; returns the total count.
  * `lb` is u8[0x110000] of Line_Break ids in ucd.LB_VALUES order. */
 int64_t tc_lb_breaks(const uint8_t* data, int64_t n, const uint8_t* lb,
                      int64_t* out, uint8_t* mand, int64_t cap);
+int64_t tc_lb_breaks32(const uint8_t* data, int64_t n, const uint8_t* lb,
+                       int32_t* out, uint8_t* mand, int64_t cap);
 
 #ifdef __cplusplus
 }  /* extern "C" */

@@ -124,6 +124,11 @@ def lib():
         L.tc_gb_breaks.restype = c_i64
         L.tc_lb_breaks.argtypes = [c_p, c_i64, c_p, c_p, c_p, c_i64]
         L.tc_lb_breaks.restype = c_i64
+        for nm in ("tc_sb_breaks32", "tc_wb_breaks32", "tc_gb_breaks32",
+                   "tc_lb_breaks32"):
+            fn = getattr(L, nm)
+            fn.argtypes = getattr(L, nm[:-2]).argtypes
+            fn.restype = c_i64
         _lib = L
         return _lib
 
@@ -412,13 +417,16 @@ def wb_breaks(data: np.ndarray, wb_table: np.ndarray,
         return int(L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), None, 0))
     # one pass with a word-text-sized guess (~2 boundaries per 6-byte word);
     # rare overflow pays a second exact pass
+    fn, scratch, dt = ((L.tc_wb_breaks32, _scratch_i32, np.int32)
+                       if n < 2**31 else
+                       (L.tc_wb_breaks, _scratch_i64, np.int64))
     cap = n // 2 + 64
-    out = _scratch_i64(cap)
+    out = scratch(cap)
     cap = out.shape[0]
-    cnt = L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cap)
+    cnt = fn(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cap)
     if cnt > cap:
-        out = np.empty(cnt, dtype=np.int64)
-        L.tc_wb_breaks(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cnt)
+        out = np.empty(cnt, dtype=dt)
+        fn(_ptr(data), n, _ptr(wb), _ptr(ep), _ptr(out), cnt)
         return out
     return out[:cnt].copy()
 
@@ -436,6 +444,18 @@ def _scratch_i64(cap: int) -> np.ndarray:
         buf = np.empty(int(cap * 5 // 4) + 64, np.int64)
         buf[:: 4096 // 8] = 0  # pre-touch one word per page
         _seg_scratch.i64 = buf
+    return buf
+
+
+def _scratch_i32(cap: int) -> np.ndarray:
+    """int32 variant — the export fast path (n < 2^31 byte offsets): half
+    the write+copy bandwidth of the int64 scratch, which dominates when a
+    boundary lands on nearly every byte (plain-text graphemes)."""
+    buf = getattr(_seg_scratch, "i32", None)
+    if buf is None or buf.shape[0] < cap:
+        buf = np.empty(int(cap * 5 // 4) + 64, np.int32)
+        buf[:: 4096 // 4] = 0  # pre-touch one word per page
+        _seg_scratch.i32 = buf
     return buf
 
 
@@ -461,9 +481,10 @@ def gb_breaks(data: np.ndarray, gcb_table: np.ndarray,
     ep = np.ascontiguousarray(ep_table, np.uint8)
     if count_only:
         return int(L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), None, 0))
-    out = _scratch_i64(n + 1)
-    cnt = L.tc_gb_breaks(_ptr(data), n, _ptr(gcb), _ptr(ep), _ptr(out),
-                         out.shape[0])
+    fn, scratch = ((L.tc_gb_breaks32, _scratch_i32) if n < 2**31 else
+                   (L.tc_gb_breaks, _scratch_i64))
+    out = scratch(n + 1)
+    cnt = fn(_ptr(data), n, _ptr(gcb), _ptr(ep), _ptr(out), out.shape[0])
     return out[:cnt].copy()
 
 
@@ -479,10 +500,12 @@ def sb_breaks(data: np.ndarray, sb_table: np.ndarray,
         return int(L.tc_sb_breaks(
             _ptr(data), n, _ptr(np.ascontiguousarray(sb_table, np.uint8)),
             None, 0))
-    out = _scratch_i64(n + 1)
-    cnt = L.tc_sb_breaks(_ptr(data), n,
-                         _ptr(np.ascontiguousarray(sb_table, np.uint8)),
-                         _ptr(out), out.shape[0])
+    fn, scratch = ((L.tc_sb_breaks32, _scratch_i32) if n < 2**31 else
+                   (L.tc_sb_breaks, _scratch_i64))
+    out = scratch(n + 1)
+    cnt = fn(_ptr(data), n,
+             _ptr(np.ascontiguousarray(sb_table, np.uint8)),
+             _ptr(out), out.shape[0])
     return out[:cnt].copy()
 
 
@@ -498,11 +521,13 @@ def lb_breaks(data: np.ndarray, lb_table: np.ndarray,
         return int(L.tc_lb_breaks(
             _ptr(data), n, _ptr(np.ascontiguousarray(lb_table, np.uint8)),
             None, None, 0))
-    out = _scratch_i64(n + 1)
+    fn, scratch = ((L.tc_lb_breaks32, _scratch_i32) if n < 2**31 else
+                   (L.tc_lb_breaks, _scratch_i64))
+    out = scratch(n + 1)
     mand = np.empty(n + 1, dtype=np.uint8)
-    cnt = L.tc_lb_breaks(_ptr(data), n,
-                         _ptr(np.ascontiguousarray(lb_table, np.uint8)),
-                         _ptr(out), _ptr(mand), out.shape[0])
+    cnt = fn(_ptr(data), n,
+             _ptr(np.ascontiguousarray(lb_table, np.uint8)),
+             _ptr(out), _ptr(mand), out.shape[0])
     return out[:cnt].copy(), mand[:cnt].astype(bool)
 
 
