@@ -214,18 +214,20 @@ def _build_ring(mesh: Mesh, mb: int, C: int, NB: int, match: int,
     )
 
 
-def ring_wavefront_score(a, b, mesh: Mesh, match: int = 0, mismatch: int = 1,
-                         gap: int = 1, objective: str = "min",
-                         locality: str = "global",
-                         table: np.ndarray | None = None,
-                         extend: int | None = None,
-                         block_cols: int = 256) -> int:
-    """Score of ONE pair's DP sharded across ``mesh``'s ``data`` axis.
+#: shard_map in_specs of the function returned by ``_ring_plan`` — exported so
+#: multi-process callers can build matching global arrays
+#: (``__graft_entry__._multihost_worker``).
+RING_IN_SPECS = (P("data"), P(None), P(None), P(None, None))
 
-    Supports the full single-chip wavefront config space: uniform costs or a
-    32×32 class-cost ``table`` (operands pre-mapped to class ids), linear
-    gaps or Gotoh affine (``gap`` is OPEN and ``extend`` extends), global or
-    ``locality="local"`` (Smith-Waterman) alignment, min/max objective."""
+
+def _ring_plan(a, b, mesh: Mesh, match: int, mismatch: int, gap: int,
+               objective: str, locality: str, table, extend, block_cols: int):
+    """Shared front half of ``ring_wavefront_score``: pad/normalize operands
+    and build the shard_map callable. Returns ``(early, fn, arrays)`` where
+    ``early`` short-circuits empty operands; otherwise ``fn(*arrays)`` (with
+    arrays placed according to ``RING_IN_SPECS``) yields the score. Split out
+    so multi-host callers can place the arrays as global multi-process arrays
+    before invoking ``fn``."""
     a = np.asarray(bytearray(a) if isinstance(a, (bytes, bytearray)) else a)
     b = np.asarray(bytearray(b) if isinstance(b, (bytes, bytearray)) else b)
     m, n = len(a), len(b)
@@ -233,11 +235,11 @@ def ring_wavefront_score(a, b, mesh: Mesh, match: int = 0, mismatch: int = 1,
     is_local = locality == "local"
     if m == 0 or n == 0:
         if is_local:
-            return 0
+            return 0, None, None
         k = m + n
         if is_affine:
-            return gap + extend * (k - 1) if k else 0
-        return k * gap
+            return (gap + extend * (k - 1) if k else 0), None, None
+        return k * gap, None, None
     D = mesh.devices.size
     mb = -(-m // D)
     C = min(block_cols, max(n, 1))
@@ -252,6 +254,25 @@ def ring_wavefront_score(a, b, mesh: Mesh, match: int = 0, mismatch: int = 1,
     fn = _build_ring(mesh, mb, C, NB, match, mismatch, gap,
                      extend if is_affine else 0, objective == "min",
                      is_affine, is_local, table is not None)
-    out = fn(jnp.asarray(a_pad), jnp.asarray(b_pad), jnp.asarray(mn),
-             jnp.asarray(tab))
+    return None, fn, (a_pad, b_pad, mn, tab)
+
+
+def ring_wavefront_score(a, b, mesh: Mesh, match: int = 0, mismatch: int = 1,
+                         gap: int = 1, objective: str = "min",
+                         locality: str = "global",
+                         table: np.ndarray | None = None,
+                         extend: int | None = None,
+                         block_cols: int = 256) -> int:
+    """Score of ONE pair's DP sharded across ``mesh``'s ``data`` axis.
+
+    Supports the full single-chip wavefront config space: uniform costs or a
+    32×32 class-cost ``table`` (operands pre-mapped to class ids), linear
+    gaps or Gotoh affine (``gap`` is OPEN and ``extend`` extends), global or
+    ``locality="local"`` (Smith-Waterman) alignment, min/max objective."""
+    early, fn, arrays = _ring_plan(a, b, mesh, match, mismatch, gap,
+                                   objective, locality, table, extend,
+                                   block_cols)
+    if fn is None:
+        return early
+    out = fn(*(jnp.asarray(x) for x in arrays))
     return int(np.asarray(out)[0])
