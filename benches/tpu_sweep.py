@@ -147,6 +147,21 @@ def main():
     check("fill_random/device bit-identity",
           bytes(np.asarray(fill_random_device(5000, 77))) == fill_random(5000, 77))
 
+    # --- streamed long-hash path at the 8/16 KiB buckets (ncm = 128/256):
+    # the round-2 advisor's VMEM concern — the streamed-chunk grid keeps the
+    # per-step input block at 2 MiB regardless of ncm (LONG_CHUNK_BLOCK=32
+    # chunks/step), so deep buckets must compile and match on hardware ---
+    from stringzilla_tpu.ops.hash_pallas import hash_long_device
+
+    for ncm in (128, 256):
+        long_items = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+                      for n in rng.integers(64 * (ncm // 2) + 1, 64 * ncm + 63,
+                                            12)]
+        got_long = hash_long_device(long_items, 42, ncm)
+        check(f"hash/long streamed ncm={ncm} ({64*ncm//1024} KiB bucket)",
+              all(int(got_long[i]) == sz_hash(x, 42)
+                  for i, x in enumerate(long_items)))
+
     # --- fingerprints bit-identity ---
     from stringzilla_tpu.ops.fingerprints import derive_params, fingerprint_oracle
 

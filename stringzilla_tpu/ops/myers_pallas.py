@@ -87,7 +87,10 @@ def _uless(a, b):
 
 
 def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
-    q_ref, qlen_ref, cands_ref, clens_ref, out_ref = refs
+    if alphabet is not None:
+        q_ref, qlen_ref, cands_ref, clens_ref, arow_ref, acol_ref, out_ref = refs
+    else:
+        q_ref, qlen_ref, cands_ref, clens_ref, out_ref = refs
     rows = words * 32  # per query
     grows = qpack * words  # stacked state rows
     q = q_ref[0]  # (qpack*rows, 1) int32, padded with -1 beyond qlen
@@ -98,13 +101,10 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (grows, lanes), 0)
     w_of_row = row_iota % words
     g_of_row = row_iota // words
-    grp_iota = jax.lax.broadcasted_iota(jnp.int32, (qpack, lanes), 0)
     m_rows = jnp.zeros((grows, lanes), jnp.int32)
-    m_grp = jnp.zeros((qpack, lanes), jnp.int32)
     for k in range(qpack):
         mk = qlen_ref[0, k, 0]
         m_rows = jnp.where(g_of_row == k, mk, m_rows)
-        m_grp = jnp.where(grp_iota == k, mk, m_grp)
 
     # Bit-packing matrix for the MXU: block-diagonal per query group;
     # S[(k, half, w), (k, i)] = 2^(i - 32w - 16*half) over the in-range bits.
@@ -127,24 +127,23 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
     VP0 = jnp.where(in_word >= 32, jnp.int32(-1),
                     jnp.left_shift(jnp.int32(1), in_word) - 1)
     VN0 = jnp.zeros((grows, lanes), jnp.int32)
-    score0 = m_grp  # (qpack, lanes)
-
-    # Score-test masks for bit (m-1) of each group: word index + in-word bit.
-    top_word = (m_rows - 1) >> 5
-    top_bit = jnp.maximum(m_rows - 1, 0) & 31
-    is_top = (w_of_row == top_word).astype(jnp.int32)  # (grows, lanes)
+    # VP0 doubles as the valid-bit mask for the END-ONLY score extraction:
+    # no per-step score tracking (see the popcount epilogue below).
 
     # Boundary masks for cross-word shifts inside each query group.
     row_in_word = jax.lax.broadcasted_iota(jnp.int32, (grows, 1), 0) % words
     first_of_group = row_in_word == 0
 
     if alphabet is not None:
-        # Byte alphabet: fold the query into the packing matmul ONCE —
-        # P[o, b] = Σ_i S8[o, i]·[q_i == b] — so the per-step mask build
-        # compares the candidate char against 256 alphabet rows instead of
-        # qpack·rows query rows (≈2× less VPU work at the default packing;
-        # the reference's analog is its 256-entry PEQ table,
-        # serial.hpp:2189, built per pair instead of gathered per step).
+        # Bounded alphabet: fold the query into the packing matmul ONCE —
+        # P[o, k] = Σ_i S8[o, i]·[q_i == alpha_k] — so the per-step mask
+        # build compares the candidate char against the ``alphabet`` DISTINCT
+        # QUERY BYTE VALUES (``arow``/``acol``, built by the caller) instead
+        # of qpack·rows query rows. A candidate byte absent from every query
+        # can never match, so the compressed value list is exact; the caller
+        # falls back to the full 0..255 ladder rung when the query set is
+        # wide. (The reference's analog is its 256-entry PEQ table,
+        # serial.hpp:2189, built per pair instead of gathered per step.)
         # Exactness: the MXU truncates f32 operands to bf16 passes, so P is
         # packed in 8-BIT pieces — every entry is a sum of distinct powers
         # of two below 2^8 ≤ 255, exact in bf16; the per-step one-hot
@@ -157,12 +156,11 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
         S8 = jnp.where((o_grp8 == (ri8 // rows)) & (rel8 >= 0) & (rel8 < 8),
                        jnp.left_shift(jnp.int32(1), jnp.clip(rel8, 0, 7)),
                        0).astype(jnp.bfloat16)
-        b_iota = jax.lax.broadcasted_iota(jnp.int32, (qpack * rows, alphabet), 1)
-        Q1 = (q == b_iota).astype(jnp.bfloat16)
+        Q1 = (q == arow_ref[...]).astype(jnp.bfloat16)  # (qpack*rows, alphabet)
         P = jax.lax.dot_general(S8, Q1, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32
                                 ).astype(jnp.bfloat16)
-        alpha_col = jax.lax.broadcasted_iota(jnp.int32, (alphabet, 1), 0)
+        alpha_col = acol_ref[...]  # (alphabet, 1) int32 value column
 
     def build_eq(j):
         """Packed match mask for (1-based) step j; clamped read past the end
@@ -185,7 +183,7 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
         return (lohi[:, 0] | (lohi[:, 1] << 16)).reshape(grows, lanes)
 
     def step(j, carry):
-        VP, VN, score, Eq = carry
+        VP, VN, Eq = carry
         # Software pipeline: issue the MXU packing for step j+1 before the
         # VPU recurrence of step j — no data dependency between them.
         Eq_next = build_eq(j + 1)
@@ -224,12 +222,6 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
         Ph = VN | ~(Xh | VP)
         Mh = VP & Xh
 
-        ph_top = jnp.sum((is_top * ((Ph >> top_bit) & 1))
-                         .reshape(qpack, words, lanes), axis=1)
-        mh_top = jnp.sum((is_top * ((Mh >> top_bit) & 1))
-                         .reshape(qpack, words, lanes), axis=1)
-        new_score = score + ph_top - mh_top  # (qpack, lanes)
-
         # Shift left by one across words; bit 31 of word w feeds bit 0 of
         # w+1; bit 0 of each group's word 0 takes the horizontal boundary.
         def shift_up(X, fill0):
@@ -251,14 +243,28 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
         live = j <= clens  # (1, lanes)
         VP = jnp.where(live, VP_new, VP)
         VN = jnp.where(live, VN_new, VN)
-        score = jnp.where(live, new_score, score)
-        return VP, VN, score, Eq_next
+        return VP, VN, Eq_next
 
-    _, _, score, _ = jax.lax.fori_loop(
-        1, cand_len + 1, step, (VP0, VN0, score0, build_eq(1)))
-    # Degenerate empty query: distance is the candidate length (all inserts).
-    out_ref[0] = jnp.where(m_grp == 0, jnp.broadcast_to(clens, (qpack, lanes)),
-                           score)
+    VPf, VNf, _ = jax.lax.fori_loop(
+        1, cand_len + 1, step, (VP0, VN0, build_eq(1)))
+
+    # End-only score extraction: the live-freeze leaves each lane's state at
+    # its OWN final column n = clen, where the Myers invariant gives
+    # D[m][n] = D[0][n] + Σ_i Δv(i) = n + popcnt(VP & mask) - popcnt(VN &
+    # mask) with mask = VP0 (bits [0, m)). Replacing the per-step top-bit
+    # Ph/Mh tracking with this single epilogue measured 568 → 778 GCUPS at
+    # the headline shape (the per-step reshape-sums were ~25% of the step).
+    # Degenerate m = 0: the mask is empty, so the score is clen — the
+    # all-inserts answer — with no special case.
+    def _popcnt(v):
+        v = v - ((v >> 1) & 0x55555555)
+        v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+        v = (v + (v >> 4)) & 0x0F0F0F0F
+        return (v * 0x01010101) >> 24
+
+    delta = _popcnt(VPf & VP0) - _popcnt(VNf & VP0)
+    out_ref[0] = jnp.broadcast_to(clens, (qpack, lanes)) + jnp.sum(
+        delta.reshape(qpack, words, lanes), axis=1)
 
 
 @functools.lru_cache(maxsize=256)
@@ -277,6 +283,12 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
         pl.BlockSpec((1, lane_block), lambda qi, cb: (0, cb),
                      memory_space=pltpu.VMEM),
     ]
+    if alphabet is not None:
+        # Distinct-value row/column for the folded Eq build (replicated).
+        in_specs.append(pl.BlockSpec((1, alphabet), lambda qi, cb: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((alphabet, 1), lambda qi, cb: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_kernel, words, cand_len, qpack, alphabet)
     cost = pl.CostEstimate(
@@ -286,7 +298,7 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
         transcendentals=0,
     )
 
-    def wrapped(queries_3d, qlens_3d, cands_t, clens):
+    def wrapped(queries_3d, qlens_3d, cands_t, clens, *alpha):
         out = pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
@@ -298,10 +310,39 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
                                            jnp.int32),
             cost_estimate=cost,
             interpret=interpret,
-        )(queries_3d, qlens_3d, cands_t, clens)
+        )(queries_3d, qlens_3d, cands_t, clens, *alpha)
         return out.reshape(n_qblocks * qpack, n_cands)
 
     return jax.jit(wrapped)
+
+
+def _alpha_ladder(k: int) -> int:
+    """Compressed-alphabet size rung: padded distinct-value count. Dyadic so
+    corpora with drifting query sets reuse compiles."""
+    n = max(16, 1 << (max(k, 1) - 1).bit_length())
+    return min(n, 256)
+
+
+def _distinct_alpha(q_t, alphabet: int):
+    """Distinct query byte values (host side) padded to a ladder rung with
+    ``-2`` (never equal to a query char, whose padding is -1, nor to any
+    candidate byte ≥ 0). Returns ``(alpha_n, arow, acol)`` or the full-range
+    fallback when the query set is too wide or ``q_t`` is a tracer (sharded
+    callers trace this function inside shard_map)."""
+    import os
+
+    if isinstance(q_t, jax.core.Tracer) or os.environ.get("SZ_MYERS_NO_DISTINCT"):
+        vals = np.arange(alphabet, dtype=np.int32)
+        return alphabet, vals.reshape(1, -1), vals.reshape(-1, 1)
+    qb = np.unique(np.asarray(q_t))
+    qb = qb[(qb >= 0) & (qb < alphabet)].astype(np.int32)
+    if len(qb) > 128:
+        vals = np.arange(alphabet, dtype=np.int32)
+        return alphabet, vals.reshape(1, -1), vals.reshape(-1, 1)
+    n = _alpha_ladder(len(qb))
+    vals = np.full(n, -2, np.int32)
+    vals[: len(qb)] = qb
+    return n, vals.reshape(1, -1), vals.reshape(-1, 1)
 
 
 def myers_pallas(
@@ -311,6 +352,7 @@ def myers_pallas(
     clens: jnp.ndarray,  # (1, n_cands) int32
     lane_block: int | None = None,
     alphabet: int | None = 256,
+    qpack: int | None = None,
 ) -> jnp.ndarray:
     """All-pairs unit-cost edit distances ``(n_queries, n_cands) int32``.
 
@@ -328,13 +370,18 @@ def myers_pallas(
     # win only matters at the short-string hot shapes anyway.
     if words > 32:
         alphabet = None
+    alpha_args = ()
+    if alphabet is not None:
+        alphabet, arow, acol = _distinct_alpha(q_t, alphabet)
+        alpha_args = (jnp.asarray(arow), jnp.asarray(acol))
     cand_len, n_cands = cands_t.shape
     if lane_block is None:
         lane_block = pick_myers_lane_block(words, cand_len)
     lane_block = min(lane_block, n_cands)
     if n_cands % lane_block:
         raise ValueError(f"n_cands {n_cands} not a multiple of lane_block {lane_block}")
-    qpack = query_pack_of(words)
+    if qpack is None:
+        qpack = query_pack_of(words)
     n_qpad = -(-n_queries // qpack) * qpack
     if n_qpad != n_queries:
         q_t = jnp.concatenate(
@@ -346,5 +393,5 @@ def myers_pallas(
                   qpack, alphabet, platform.pallas_interpret())
     queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
     out = call(queries_3d, jnp.asarray(qlens).reshape(n_qpad // qpack, qpack, 1),
-               cands_t, clens)
+               cands_t, clens, *alpha_args)
     return out[:n_queries]
