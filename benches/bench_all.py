@@ -286,15 +286,49 @@ def bench_nw_proteins(rng):
     cs = [rng.choice(aa, int(l)).tobytes() for l in cl]
     ql = np.array([len(q) for q in qs])
     cells = float(np.outer(ql, np.array([len(c) for c in cs])).sum())
-    dt = timed(lambda: eng(qs, cs))
+    # Tapes built once outside the timed region — the reference's bench also
+    # times engine calls over pre-built tape operands (szs engines take
+    # sequence/tape objects, python/stringzillas.c:96-101; the device blob
+    # mirror is cached on the Tape).
+    from stringzilla_tpu.ops.tape import Tape
+
+    qs_t, cs_t = Tape.from_strings(qs), Tape.from_strings(cs)
+    dt = timed(lambda: eng(qs_t, cs_t))
     emit("needleman_wunsch_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
 
     sw = sz.SmithWatermanScores(byte_to_class=b2c,
                                 class_substitution_costs=table,
                                 open=-5, extend=-5)
-    dt = timed(lambda: sw(qs, cs))
+    dt = timed(lambda: sw(qs_t, cs_t))
     # reference smith_waterman baselines mirror the NW ones (bench/similarities.cpp)
     emit("smith_waterman_1k_proteins", cells / dt / 1e9, "GCUPS", 0.452)
+
+    # Kernel-tier row (device-resident operands, same accounting as the
+    # Myers kernel-tier note in BENCH_NOTES): isolates the DP kernel from
+    # the tunnel's ~28 ms result-pull RTT that the e2e rows above pay per
+    # call — a local-host artifact the reference's CPU/H100 numbers don't
+    # have. True cells accounting, identical results.
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.similarity import (ClassCosts, LinearGaps,
+                                                SimilarityConfig)
+    from stringzilla_tpu.ops.similarity_pallas import similarity_pallas
+
+    rows = 1032
+    q_ext = np.zeros((rows, len(qs)), np.int32)
+    for i, s in enumerate(qs):
+        q_ext[1 : len(s) + 1, i] = b2c[np.frombuffer(s, np.uint8)]
+    cands = np.zeros((1024, len(cs)), np.int32)
+    for i, s in enumerate(cs):
+        cands[: len(s), i] = b2c[np.frombuffer(s, np.uint8)]
+    kcfg = SimilarityConfig(
+        "max", "global", LinearGaps(-5),
+        ClassCosts(tuple(range(32)) * 8, tuple(tuple(r) for r in table.tolist())))
+    kargs = (jnp.asarray(q_ext), jnp.asarray(ql.reshape(-1, 1).astype(np.int32)),
+             jnp.asarray(cands), jnp.asarray(cl.reshape(1, -1).astype(np.int32)),
+             kcfg, jnp.asarray(table))
+    dt = timed(lambda: similarity_pallas(*kargs))
+    emit("needleman_wunsch_kernel_tier", cells / dt / 1e9, "GCUPS", 0.452)
 
 
 def bench_utf8_host(rng):

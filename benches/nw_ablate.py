@@ -62,6 +62,43 @@ def truncated_cum_opt(passes):
     return fn
 
 
+def two_level(B, reduce_carries):
+    """Exact two-level scan variant: block size B; carries via axis-reduce
+    instead of strided tail slice when reduce_carries."""
+    def _shift_down(x, d, fill, cfg):
+        rolled = jnp.roll(x, d, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.where(rows < d, fill, rolled)
+
+    def fn(t, cfg):
+        rows, lanes = t.shape
+        nb = -(-rows // B)
+        pad = nb * B - rows
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.full((pad, lanes), cfg.ident, t.dtype)], axis=0)
+        in_block = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) & (B - 1)
+        d = 1
+        while d < B:
+            rolled = jnp.roll(t, d, axis=0)
+            t = cfg.opt(t, jnp.where(in_block < d, cfg.ident, rolled))
+            d *= 2
+        if reduce_carries:
+            red = jnp.min if cfg.objective == "min" else jnp.max
+            carries = red(t.reshape(nb, B, lanes), axis=1)
+        else:
+            carries = t.reshape(nb, B, lanes)[:, B - 1, :]
+        d = 1
+        while d < nb:
+            carries = cfg.opt(carries, _shift_down(carries, d, cfg.ident, cfg))
+            d *= 2
+        prev_carry = _shift_down(carries, 1, cfg.ident, cfg)
+        full = jnp.broadcast_to(prev_carry[:, None, :], (nb, B, lanes))
+        t = cfg.opt(t, full.reshape(nb * B, lanes))
+        return t[:rows] if pad else t
+    return fn
+
+
 def main():
     dur = float(sys.argv[1]) if len(sys.argv) > 1 else 1.5
     rng = np.random.default_rng(0)
@@ -72,17 +109,25 @@ def main():
                      np.asarray(args[4]).tolist())))
 
     orig = S._cum_opt_down
-    modes = [("full", None), ("scan6", 6), ("scan4", 4), ("scan2", 2),
-             ("scan0", 0), ("full2", None)]
-    for name, passes in modes:
-        S._cum_opt_down = orig if passes is None else truncated_cum_opt(passes)
+    modes = [("full", None), ("redcarry64", two_level(64, True)),
+             ("redcarry128", two_level(128, True)),
+             ("slice128", two_level(128, False)),
+             ("redcarry32", two_level(32, True)),
+             ("scan0", truncated_cum_opt(0)), ("full2", None)]
+    want = None
+    for name, repl in modes:
+        S._cum_opt_down = orig if repl is None else repl
         try:
             call = SP._build_call.__wrapped__(cfg, ROWS, CAND_LEN, NQ, NC, LB,
                                               False)
             q, ql, c, cl, tab = args
             run = lambda: call(q.T.reshape(NQ, ROWS, 1),  # noqa: E731
                                ql.reshape(NQ, 1, 1), c, cl, tab)
-            _ = np.asarray(run()[0, 0])
+            first = np.asarray(run())
+            if name == "full":
+                want = first
+            elif name.startswith(("redcarry", "slice")):
+                assert (first == want).all(), f"{name} INEXACT"
             t0 = time.perf_counter()
             _ = np.asarray(run()[0, 0])
             per = max(time.perf_counter() - t0, 1e-4)
