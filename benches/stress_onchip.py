@@ -65,6 +65,17 @@ while time.time() < t_end:
             for i in rng.choice(len(docs), min(3, len(docs)), replace=False):
                 eh, ec = fingerprint_oracle(docs[int(i)], params)
                 assert (h[int(i)] == eh).all() and (c[int(i)] == ec).all(), ("FP", seed, int(i))
+        elif kind == 3:  # streamed long-hash path (8/16/64 KiB buckets)
+            from stringzilla_tpu.ops.hash import sz_hash
+            from stringzilla_tpu.ops.hash_pallas import hash_long_device
+
+            ncm = int(rng.choice([128, 256, 1024]))
+            items = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+                     for n in rng.integers(64 * (ncm // 2) + 1, 64 * ncm + 63,
+                                           int(rng.integers(1, 5)))]
+            got = hash_long_device(items, seed % 1009, ncm)
+            for i, x in enumerate(items):
+                assert got[i] == sz_hash(x, seed % 1009), ("HASHLONG", seed, i)
         elif kind == 4:  # argsort vs sorted()
             words = [bytes(rng.integers(97, 123, int(rng.integers(0, 14))).astype(np.uint8))
                      for _ in range(int(rng.integers(1, 4000)))]

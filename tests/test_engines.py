@@ -155,3 +155,83 @@ def test_out_parameter(shapes_rng):
     ret = engine(queries, cands, out=out)
     assert ret is out
     np.testing.assert_array_equal(out.astype(np.int64), ref_matrix(queries, cands, oracles.levenshtein))
+
+
+def test_word_gather_pack_alignments():
+    """The word-gather dense pack (``pack_device._gather_rows``) must be
+    exact at every byte alignment of the string start within its 4-byte
+    word, including rows that read past the blob's last word (the 4-byte
+    tail pad keeps them in bounds)."""
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.pack_device import pack_on_device
+
+    rng = np.random.default_rng(11)
+    # offsets hitting alignments 0..3, lengths straddling word boundaries
+    items = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+             for n in (1, 2, 3, 4, 5, 7, 8, 9, 13, 16, 31, 64)]
+    blob = b"".join(items)
+    pad = (-len(blob)) % 4
+    data = jnp.asarray(np.frombuffer(blob + b"\0" * pad, np.uint8))
+    offs, lens, pos = [], [], 0
+    for it in items:
+        offs.append(pos)
+        lens.append(len(it))
+        pos += len(it)
+    row_len = 64  # word path (row_len % 4 == 0)
+    got = np.asarray(pack_on_device(
+        data, jnp.asarray(np.array(offs, np.int32)),
+        jnp.asarray(np.array(lens, np.int32)), row_len=row_len, fill=0))
+    for i, it in enumerate(items):
+        want = np.zeros(row_len, np.int64)
+        want[: len(it)] = np.frombuffer(it, np.uint8)
+        np.testing.assert_array_equal(got[i].astype(np.int64), want, err_msg=str(i))
+
+
+def test_class_mapped_tape_memoized():
+    """Class-cost engines pre-map the device blob through the byte->class
+    LUT once per (collection, LUT) pair; same LUT bytes hit the cache,
+    different LUTs don't, and scores stay exact either way."""
+    from stringzilla_tpu.models.similarities import _class_mapped_tape
+    from stringzilla_tpu.ops.pack_device import device_tape
+    from stringzilla_tpu.ops.tape import Tape
+
+    rng = np.random.default_rng(3)
+    items = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8))
+             for n in (5, 17, 40)]
+    dt = device_tape(Tape.from_strings(items))
+    b2c = rng.integers(0, 32, 256).astype(np.uint8)
+    m1 = _class_mapped_tape(dt, b2c)
+    m2 = _class_mapped_tape(dt, b2c.copy())  # equal bytes -> cache hit
+    assert m1 is m2
+    b2c_other = (b2c + 1) % 32
+    m3 = _class_mapped_tape(dt, b2c_other.astype(np.uint8))
+    assert m3 is not m1
+    blob = np.concatenate([np.frombuffer(it, np.uint8) for it in items])
+    np.testing.assert_array_equal(
+        np.asarray(m1.data)[: blob.size].astype(np.uint8), b2c[blob])
+    np.testing.assert_array_equal(
+        np.asarray(m3.data)[: blob.size].astype(np.uint8),
+        b2c_other.astype(np.uint8)[blob])
+
+
+def test_class_cost_engines_premapped_exact(shapes_rng):
+    """End-to-end: NW/SW through the pre-mapped-blob pack path agree with
+    the oracle for byte values spanning the full 0..255 range."""
+    rng = shapes_rng
+    table = rng.integers(-4, 6, (32, 32)).astype(np.int32)
+    table = ((table + table.T) // 2).astype(np.int32)
+    b2c = rng.integers(0, 32, 256).astype(np.uint8)
+    qs = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8)) for n in (9, 33)]
+    cs = [bytes(rng.integers(0, 256, int(n)).astype(np.uint8)) for n in (7, 21, 60)]
+    eng = szt.NeedlemanWunschScores(byte_to_class=b2c,
+                                    class_substitution_costs=table,
+                                    open=-4, extend=-4)
+    got = np.asarray(eng(qs, cs))
+    sub = lambda x, y: int(table[b2c[x], b2c[y]])  # noqa: E731
+    for i, q in enumerate(qs):
+        for j, c in enumerate(cs):
+            want = oracles.score_linear(np.frombuffer(q, np.uint8),
+                                        np.frombuffer(c, np.uint8),
+                                        sub, -4, objective="max")
+            assert got[i, j] == want, (i, j)
