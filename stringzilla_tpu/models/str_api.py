@@ -586,6 +586,34 @@ class Str:
 
         return iter(int(r) for r in utf8_decode(bytes(self)))
 
+    def utf8_wordbreaks(self) -> list[int]:
+        """UAX-29 word-boundary byte offsets (binding ``Str.utf8_wordbreaks``,
+        reference ``utf8_wordbreaks.h:37``)."""
+        from ..ops.utf8_segment import utf8_wordbreaks
+
+        return utf8_wordbreaks(bytes(self))
+
+    def utf8_graphemes(self) -> list[tuple[int, int]]:
+        """UAX-29 grapheme-cluster spans ``(byte_offset, byte_len)``
+        (binding ``Str.utf8_graphemes``, reference ``utf8_graphemes.h:37``)."""
+        from ..ops.utf8 import utf8_graphemes
+
+        return utf8_graphemes(bytes(self))
+
+    def utf8_sentences(self) -> list[tuple[int, int]]:
+        """UAX-29 sentence spans (binding ``Str.utf8_sentences``, reference
+        ``utf8_sentences.h:37``)."""
+        from ..ops.utf8_segment import utf8_sentences
+
+        return utf8_sentences(bytes(self))
+
+    def utf8_linebreaks(self) -> list[int]:
+        """UAX-14 line-break opportunity offsets (binding
+        ``Str.utf8_linebreaks``, reference ``utf8_linebreaks.h:41``)."""
+        from ..ops.utf8_segment import utf8_linebreaks
+
+        return utf8_linebreaks(bytes(self))
+
     def _utf8_token_views(self, kind: str, split: bool) -> "Strs":
         from ..ops import utf8 as U
 
@@ -682,10 +710,42 @@ class Strs:
             self._starts = np.zeros(0, dtype=np.int64)
             self._ends = np.zeros(0, dtype=np.int64)
             return
-        tape = items if isinstance(items, Tape) else Tape.from_strings(list(items))
+        if isinstance(items, Tape):
+            tape = items
+        elif hasattr(items, "__arrow_c_array__"):
+            # Any Arrow producer (pyarrow/polars/duckdb array) — the
+            # reference constructor consumes the same capsules
+            # (``python/stringzilla.c:8537``).
+            from .arrow import tape_arrays_from_arrow
+
+            data, offsets = tape_arrays_from_arrow(items)
+            tape = Tape(data=data, offsets=offsets)
+        else:
+            tape = Tape.from_strings(list(items))
         self._parent = Str(np.asarray(tape.data))
         self._starts = np.asarray(tape.offsets[:-1], dtype=np.int64)
         self._ends = np.asarray(tape.offsets[1:], dtype=np.int64)
+
+    def __arrow_c_array__(self, requested_schema=None):
+        """Arrow PyCapsule export (binding ``Strs.__arrow_c_array__``) as a
+        ``large_binary`` array. Zero-copy when the views tile their parent
+        contiguously (the common tape-backed case); re-taped otherwise."""
+        from .arrow import export_tape_capsules
+
+        n = len(self)
+        contiguous = n > 0 and (self._ends[:-1] == self._starts[1:]).all() \
+            and int(self._starts[0]) == 0
+        if n == 0:
+            offsets = np.zeros(1, dtype=np.int64)
+            data = np.zeros(0, dtype=np.uint8)
+        elif contiguous:
+            offsets = np.concatenate(
+                [self._starts, self._ends[-1:]]).astype(np.int64)
+            data = self._parent._buf
+        else:
+            tape = self.to_tape()
+            offsets, data = tape.offsets, tape.data
+        return export_tape_capsules(offsets, np.asarray(data))
 
     @classmethod
     def _from_views(cls, parent: Str, bounds) -> "Strs":

@@ -76,6 +76,26 @@ class Tape:
         data = np.frombuffer(b"".join(blobs), dtype=np.uint8).copy()
         return cls(data=data, offsets=offsets)
 
+    @classmethod
+    def from_arrow(cls, obj) -> "Tape":
+        """Build a tape from any Arrow array producer (an object exposing
+        ``__arrow_c_array__`` — pyarrow/polars/duckdb binary or string
+        arrays). One buffer copy; the reference consumes the same capsules
+        in its ``Strs`` constructor (``python/stringzilla.c:8537``)."""
+        from ..models.arrow import tape_arrays_from_arrow
+
+        data, offsets = tape_arrays_from_arrow(obj)
+        return cls(data=data, offsets=offsets)
+
+    def __arrow_c_array__(self, requested_schema=None):
+        """Zero-copy Arrow PyCapsule export as ``large_binary`` (the
+        reference's ``Strs.__arrow_c_array__``, ``python/stringzilla.c:15``).
+        Device-resident tapes are pulled to host first."""
+        from ..models.arrow import export_tape_capsules
+
+        return export_tape_capsules(np.asarray(self.offsets),
+                                    np.asarray(self.data))
+
     def __len__(self) -> int:
         return len(self.offsets) - 1
 

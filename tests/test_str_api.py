@@ -253,3 +253,18 @@ def test_binding_surface_extras():
         p = os.path.join(d, "out.bin")
         s2.write_to(p)
         assert open(p, "rb").read() == b"hello"
+
+
+def test_str_segmentation_methods():
+    """Str.utf8_wordbreaks/graphemes/sentences/linebreaks mirror the module
+    functions (reference exposes segmentation on Str, python/stringzilla.c)."""
+    import stringzilla_tpu as szt
+    from stringzilla_tpu.ops import utf8 as u8
+    from stringzilla_tpu.ops import utf8_segment as useg
+
+    s = szt.Str("Hello world. Déjà vu! 👩‍👩‍👧 end".encode())
+    assert s.utf8_wordbreaks() == useg.utf8_wordbreaks(bytes(s))
+    assert s.utf8_graphemes() == u8.utf8_graphemes(bytes(s))
+    assert s.utf8_sentences() == useg.utf8_sentences(bytes(s))
+    assert s.utf8_linebreaks() == useg.utf8_linebreaks(bytes(s))
+    assert len(s.utf8_wordbreaks()) and len(s.utf8_graphemes())
