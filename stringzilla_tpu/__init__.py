@@ -25,7 +25,7 @@ from .models.similarities import (
     SmithWatermanScores,
 )
 from .ops import find as _find
-from .ops.hash import Hasher, Sha256, bytesum, fill_random, hash_multiseed, hmac_sha256, sz_hash
+from .ops.hash import Hasher, Sha256, bytesum, fill_random, hash_multiseed, hmac_sha256, random, sz_hash
 from .ops.compare import batch_equal, batch_order, equal
 from .ops.compare import order as compare_order
 from .ops.intersect import intersect
@@ -177,6 +177,7 @@ __all__ = [
     "bytesum",
     "count",
     "fill_random",
+    "random",
     "find",
     "find_byteset",
     "hash",

@@ -113,6 +113,19 @@ class Str:
     def __contains__(self, needle) -> bool:
         return self.find(needle) >= 0
 
+    # -- buffer introspection (reference ``Str.address``/``Str.nbytes``,
+    # ``python/stringzilla.c:2115-2116``) -----------------------------------
+
+    @property
+    def address(self) -> int:
+        """Host address of the first byte — zero-copy views into a parent
+        buffer report an address inside the parent, as the reference does."""
+        return int(self._buf.ctypes.data) if len(self) else 0
+
+    @property
+    def nbytes(self) -> int:
+        return len(self)
+
     # -- device mirror -------------------------------------------------------
 
     def _device(self):
@@ -798,6 +811,45 @@ class Strs:
     @property
     def lengths(self) -> np.ndarray:
         return (self._ends - self._starts).astype(np.int64)
+
+    # -- tape-layout introspection (reference ``Strs.tape_address`` /
+    # ``offsets_address`` / ``offsets_are_large`` / ``__layout__`` getters,
+    # ``python/stringzilla.c:8525-8530``). Our tape is always a parent
+    # buffer plus int64 start/end bounds, so offsets are always "large". ---
+
+    @property
+    def tape_address(self) -> int:
+        return self._parent.address
+
+    @property
+    def tape_nbytes(self) -> int:
+        return len(self._parent)
+
+    @property
+    def offsets_address(self) -> int:
+        """Address of the end-offsets array (one int64 per view). The
+        reference exposes its count+1 offsets array the same way; callers
+        pair this with ``tape_address`` for zero-copy FFI hand-off."""
+        return int(self._ends.ctypes.data) if len(self) else 0
+
+    @property
+    def offsets_nbytes(self) -> int:
+        return int(self._ends.nbytes)
+
+    @property
+    def offsets_are_large(self) -> bool:
+        """Always True: bounds are int64 (the reference's U64_TAPE case)."""
+        return True
+
+    @property
+    def __layout__(self) -> str:
+        contiguous = len(self) > 0 and bool(
+            (self._ends[:-1] == self._starts[1:]).all()) \
+            and int(self._starts[0]) == 0
+        kind = "U64_TAPE_VIEW" if not contiguous else "U64_TAPE"
+        return (f"Strs[layout={kind}, count={len(self)}, "
+                f"data=0x{self.tape_address:x}, "
+                f"offsets=0x{self.offsets_address:x}]")
 
     def order(self, reverse: bool = False, uncased: bool = False,
               top_count: int | None = None) -> np.ndarray:

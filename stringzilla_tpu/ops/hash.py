@@ -329,6 +329,21 @@ def fill_random(length: int, nonce: int = 0) -> bytes:
     return out[:length].tobytes()
 
 
+def random(length: int, nonce: int = 0, *, alphabet=None) -> bytes:
+    """AES-CTR random bytes, optionally remapped onto an alphabet with
+    ``alphabet[b % len(alphabet)]`` (``sz.random``, reference
+    ``python/stringzilla.c:1781-1843``)."""
+    raw = fill_random(length, nonce)
+    if alphabet is None:
+        return raw
+    alph = alphabet.encode() if isinstance(alphabet, str) else bytes(alphabet)
+    if not alph:
+        raise ValueError("alphabet must be non-empty")
+    lut = np.frombuffer(alph, dtype=np.uint8)
+    src = np.frombuffer(raw, dtype=np.uint8)
+    return lut[src.astype(np.int64) % len(alph)].tobytes()
+
+
 class Hasher:
     """Streaming hash state (``sz_hash_state_init/update/digest``,
     ``hash.h:259-276``): buffers a 64-byte block, defers the final block so
@@ -377,6 +392,22 @@ class Hasher:
 
     def hexdigest(self) -> str:
         return f"{self.digest():016x}"
+
+    def reset(self) -> "Hasher":
+        """Return to the freshly-seeded state (``Hasher.reset``, reference
+        ``python/stringzilla.c:7340``)."""
+        self.__init__(self._seed)
+        return self
+
+    def copy(self) -> "Hasher":
+        """Independent clone of the streaming state, so one prefix can fork
+        into several continuations (mirrors ``Sha256.copy``)."""
+        out = Hasher(self._seed)
+        out._aes = self._aes.copy()
+        out._sum = self._sum.copy()
+        out._ins = self._ins.copy()
+        out._length = self._length
+        return out
 
 
 # Own FIPS 180-4 implementation + batched device path live in ops.sha256;

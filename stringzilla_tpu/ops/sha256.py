@@ -131,6 +131,14 @@ class Sha256:
     def hexdigest(self) -> str:
         return self.digest().hex()
 
+    def reset(self) -> "Sha256":
+        """Return to the empty-message state (``Sha256.reset``, reference
+        ``python/stringzilla.c:7513``)."""
+        self._state = _H0.copy()
+        self._buffer = b""
+        self._length = 0
+        return self
+
 
 def sha256(data: bytes) -> bytes:
     from ..utils import native

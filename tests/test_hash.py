@@ -84,3 +84,16 @@ def test_hmac_roundtrip():
     import hmac, hashlib
 
     assert szhash.hmac_sha256(b"key", b"msg") == hmac.new(b"key", b"msg", hashlib.sha256).digest()
+
+
+def test_hasher_reset_copy():
+    """Hasher.reset/copy mirror the reference's streaming-state controls
+    (python/stringzilla.c:7340, 7513)."""
+    h = szhash.Hasher(5).update(b"hello world")
+    fork = h.copy().update(b"!")
+    assert h.digest() == szhash.Hasher(5).update(b"hello world").digest()
+    assert fork.digest() == szhash.Hasher(5).update(b"hello world!").digest()
+    assert h.reset().update(b"x").digest() == szhash.Hasher(5).update(b"x").digest()
+    s = szhash.Sha256(b"abc")
+    d = s.digest()
+    assert s.reset().update(b"abc").digest() == d

@@ -268,3 +268,36 @@ def test_str_segmentation_methods():
     assert s.utf8_sentences() == useg.utf8_sentences(bytes(s))
     assert s.utf8_linebreaks() == useg.utf8_linebreaks(bytes(s))
     assert len(s.utf8_wordbreaks()) and len(s.utf8_graphemes())
+
+
+def test_buffer_introspection_and_layout():
+    """Str.address/nbytes + Strs tape/offsets getters (reference
+    python/stringzilla.c:2115-2116, 8525-8530)."""
+    import stringzilla_tpu as szt
+
+    s = szt.Str(b"hello world")
+    assert s.nbytes == 11 and s.address != 0
+    assert s[6:].address == s.address + 6  # views point into the parent
+
+    ss = szt.Strs([b"aa", b"bb", b"ccc"])
+    assert ss.tape_nbytes == 7 and ss.tape_address != 0
+    assert ss.offsets_are_large is True
+    assert ss.offsets_nbytes == 3 * 8
+    assert "U64_TAPE" in ss.__layout__ and "count=3" in ss.__layout__
+    empty = szt.Strs()
+    assert empty.tape_nbytes == 0 and empty.offsets_address == 0
+
+
+def test_module_random_alphabet():
+    """sz.random(length, nonce, alphabet=...) == fill_random remapped by
+    alphabet[b % len(alphabet)] (reference python/stringzilla.c:1781)."""
+    import stringzilla_tpu as szt
+
+    assert szt.random(64, 9) == szt.fill_random(64, 9)
+    raw = szt.fill_random(256, 3)
+    mapped = szt.random(256, 3, alphabet="acgt")
+    assert mapped == bytes(b"acgt"[b % 4] for b in raw)
+    assert set(mapped) <= set(b"acgt")
+    import pytest
+    with pytest.raises(ValueError):
+        szt.random(8, alphabet="")
