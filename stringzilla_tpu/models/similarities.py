@@ -66,8 +66,8 @@ def _as_int_arrays(items, utf8: bool) -> list[np.ndarray]:
     for s in items:
         if isinstance(s, str):
             s = s.encode("utf-8")
-        elif isinstance(s, (bytearray, memoryview)):
-            s = bytes(s)
+        elif not isinstance(s, (bytes, np.ndarray)):
+            s = bytes(s)  # bytearray/memoryview/Str views
         if isinstance(s, np.ndarray):
             out.append(s.astype(np.int32))
         elif utf8:
@@ -192,10 +192,11 @@ class _DeviceCollection:
             for s in items:
                 if isinstance(s, str):
                     s = s.encode("utf-8")
-                elif isinstance(s, (bytearray, memoryview)):
-                    s = bytes(s)
-                if not isinstance(s, bytes):
-                    raise _HostFallback
+                elif not isinstance(s, bytes):
+                    try:
+                        s = bytes(s)  # bytearray/memoryview/Str views
+                    except TypeError:
+                        raise _HostFallback from None
                 conv.append(s)
             tape = Tape.from_strings(conv)
         self._tape = tape

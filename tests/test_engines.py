@@ -235,3 +235,19 @@ def test_class_cost_engines_premapped_exact(shapes_rng):
                                         np.frombuffer(c, np.uint8),
                                         sub, -4, objective="max")
             assert got[i, j] == want, (i, j)
+
+
+def test_engines_accept_strs_and_str_views():
+    """Engines take `Strs` / `Str` items directly, as the reference bindings
+    do (python/stringzillas.c:96-101 — any buffer-exporting sequence)."""
+    import numpy as np
+    import stringzilla_tpu as sz
+
+    d = np.asarray(sz.LevenshteinDistances()(
+        sz.Strs([b"kitten", b"flaw"]), sz.Strs([b"sitting", b"lawn"])))
+    assert d[0, 0] == 3 and d[1, 1] == 2
+    views = sz.Str(b"kitten sitting").split(b" ")
+    d2 = np.asarray(sz.LevenshteinDistances()([views[0]], [views[1]]))
+    assert d2[0, 0] == 3
+    h, _ = sz.Fingerprints(ndim=64)(sz.Strs([b"some fingerprintable text"]))
+    assert np.asarray(h).shape[-1] == 64
