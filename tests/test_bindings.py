@@ -123,3 +123,43 @@ def test_java_engine_client_tracks_protocol():
     assert "LITTLE_ENDIAN" in java
     # the response check string must match the server's literal JSON form
     assert '\\"ok\\": true' in java and '"ok": True' not in java
+
+
+def test_perl_engine_client(tmp_path):
+    """A pure-Perl (core modules only) program speaks the engine serving
+    protocol end-to-end — the second LIVE language consumer after the
+    compiled C client, covering the ops that one does not: rune-level
+    levenshtein_utf8 (vs a Perl Wagner-Fischer oracle over characters),
+    smith_waterman with a class table + affine gaps crossing the wire
+    (expected scores computed here by the independent Gotoh oracle), and
+    sha256 (vs core Digest::SHA — a second full implementation)."""
+    if not shutil.which("perl"):
+        pytest.skip("no perl")
+
+    from stringzilla_tpu.serve import EngineServer
+
+    from .oracles import score_affine
+
+    queries = [b"GATTACA", b"ACGT"]
+    cands = [b"GCATGCU", b"TACGTA", b"AAAA"]
+    b2c = {ord(c): i for i, c in enumerate("ACGTU")}
+
+    def sub_fn(x, y):
+        cx, cy = b2c.get(x, 5), b2c.get(y, 5)
+        return 3 if cx == cy else -1
+
+    expected = [str(score_affine(q, c, sub_fn, -2, -1, local=True))
+                for q in queries for c in cands]
+
+    sock = str(tmp_path / "engines.sock")
+    server = EngineServer(sock)
+    server.start_background()
+    try:
+        run = subprocess.run(
+            ["perl", os.path.join(REPO, "bindings", "perl",
+                                  "engine_client.pl"), sock, *expected],
+            capture_output=True, text=True, timeout=300)
+        assert run.returncode == 0, (run.stdout, run.stderr)
+        assert run.stdout.count("PASS") == 3, run.stdout
+    finally:
+        server.shutdown()
