@@ -14,7 +14,19 @@ Layout (mirrors the reference's two-tier split, ``README.md:368-376``):
 """
 
 from .models.device_scope import DeviceScope
-from .models.str_api import File, Str, Strs
+from .models.str_api import (
+    File,
+    FindSplits,
+    Str,
+    Strs,
+    Utf8Delimiters,
+    Utf8Newlines,
+    Utf8SplitDelimiters,
+    Utf8SplitNewlines,
+    Utf8SplitWhitespaces,
+    Utf8Whitespaces,
+    Utf8Wordbreaks,
+)
 from .models.fingerprints import Fingerprints
 from .models.similarities import (
     LevenshteinDistances,
@@ -150,14 +162,17 @@ utf8_norm = _u.utf8_norm
 utf8_find_denormalized = _u.utf8_find_denormalized
 utf8_uncased_find = _u.utf8_uncased_find
 utf8_uncased_order = _u.utf8_uncased_order
-utf8_newlines = _u.utf8_newlines
-utf8_whitespaces = _u.utf8_whitespaces
-utf8_delimiters = _u.utf8_delimiters
-utf8_graphemes = _u.utf8_graphemes
 utf8_words = _useg.utf8_words
-utf8_wordbreaks = _useg.utf8_wordbreaks
-utf8_sentences = _useg.utf8_sentences
-utf8_linebreaks = _useg.utf8_linebreaks
+# The reference binding's module-level segmenters yield Str views
+# (python/stringzilla.c: "Iterator yielding Str objects ..."). The
+# offset/span-returning kernels remain at ops.utf8 / ops.utf8_segment.
+utf8_newlines = _via_str("utf8_newlines")
+utf8_whitespaces = _via_str("utf8_whitespaces")
+utf8_delimiters = _via_str("utf8_delimiters")
+utf8_graphemes = _via_str("utf8_graphemes")
+utf8_wordbreaks = _via_str("utf8_wordbreaks")
+utf8_sentences = _via_str("utf8_sentences")
+utf8_linebreaks = _via_str("utf8_linebreaks")
 
 __version__ = "0.1.0"
 
@@ -166,7 +181,24 @@ def __capabilities__():
     return platform.capabilities()
 
 
+def __getattr__(name):
+    # Lazy: the reference exports __capabilities_str__ as a module string
+    # constant (python/stringzilla.c:9695); computing it touches the JAX
+    # backend, so defer until first access rather than at import.
+    if name == "__capabilities_str__":
+        return ",".join(platform.capabilities())
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
+    "FindSplits",
+    "Utf8Wordbreaks",
+    "Utf8Newlines",
+    "Utf8Whitespaces",
+    "Utf8Delimiters",
+    "Utf8SplitNewlines",
+    "Utf8SplitWhitespaces",
+    "Utf8SplitDelimiters",
     "DeviceScope",
     "File",
     "Str",

@@ -32,7 +32,9 @@ from ..ops import hash as _hash_ops
 from ..ops.tape import Tape
 from ..utils import platform
 
-__all__ = ["Str", "Strs", "File"]
+__all__ = ["Str", "Strs", "File", "FindSplits", "Utf8Wordbreaks",
+           "Utf8Newlines", "Utf8Whitespaces", "Utf8Delimiters",
+           "Utf8SplitNewlines", "Utf8SplitWhitespaces", "Utf8SplitDelimiters"]
 
 _DEVICE_MIN_BYTES = 1 << 20
 
@@ -468,7 +470,11 @@ class Str:
     def split_iter(self, separator=b" ", keepseparator: bool = False):
         """Lazy split on an exact separator, yielding zero-copy ``Str`` views
         (binding ``Str.split_iter``; ``find_splits_view``,
-        reference ``stringzilla.hpp:742``)."""
+        reference ``stringzilla.hpp:742``). Returns the typed lazy iterator
+        ``FindSplits`` (reference module type, ``python/stringzilla.c:6548``)."""
+        return FindSplits(self._split_iter_gen(separator, keepseparator))
+
+    def _split_iter_gen(self, separator, keepseparator):
         sep = _needle_bytes(separator)
         if not sep:
             yield self[:]
@@ -487,7 +493,11 @@ class Str:
         """Lazy split from the right (binding ``Str.rsplit_iter``;
         ``rfind_splits_view``, reference ``stringzilla.hpp:875``). Parts come
         right to left; with ``keepseparator`` each non-rightmost part keeps
-        its trailing separator (same convention as ``rsplit``)."""
+        its trailing separator (same convention as ``rsplit``). Returns the
+        typed lazy iterator ``FindSplits``."""
+        return FindSplits(self._rsplit_iter_gen(separator, keepseparator))
+
+    def _rsplit_iter_gen(self, separator, keepseparator):
         sep = _needle_bytes(separator)
         if not sep:
             yield self[:]
@@ -599,33 +609,59 @@ class Str:
 
         return iter(int(r) for r in utf8_decode(bytes(self)))
 
-    def utf8_wordbreaks(self) -> list[int]:
-        """UAX-29 word-boundary byte offsets (binding ``Str.utf8_wordbreaks``,
-        reference ``utf8_wordbreaks.h:37``)."""
+    def _segments_from_edges(self, inner_offsets, cls) -> "Strs":
+        """Zero-copy segment views between boundary offsets (0 and len are
+        implicit edges; never yields an empty segment for non-empty text)."""
+        n = len(self)
+        if n == 0:
+            return cls._from_views(self, [])
+        edges = [0]
+        for o in inner_offsets:
+            if 0 < o < n and o != edges[-1]:
+                edges.append(o)
+        edges.append(n)
+        return cls._from_views(self, list(zip(edges, edges[1:])))
+
+    def utf8_wordbreaks(self) -> "Utf8Wordbreaks":
+        """TR29 word segments as zero-copy ``Str`` views — the reference
+        binding's contract (``python/stringzilla.c:5469``: "Iterator yielding
+        Str objects for each word"); also indexable like ``Strs``. Boundary
+        *offsets* remain at ``ops.utf8_segment.utf8_wordbreaks``."""
         from ..ops.utf8_segment import utf8_wordbreaks
 
-        return utf8_wordbreaks(bytes(self))
+        return self._segments_from_edges(utf8_wordbreaks(bytes(self)),
+                                         Utf8Wordbreaks)
 
-    def utf8_graphemes(self) -> list[tuple[int, int]]:
-        """UAX-29 grapheme-cluster spans ``(byte_offset, byte_len)``
-        (binding ``Str.utf8_graphemes``, reference ``utf8_graphemes.h:37``)."""
+    def utf8_graphemes(self) -> "Strs":
+        """UAX-29 grapheme clusters as zero-copy ``Str`` views (binding
+        ``Str.utf8_graphemes``, ``python/stringzilla.c:5592``: "Iterator
+        yielding Str objects for each grapheme cluster"; kernel reference
+        ``utf8_graphemes.h:37``). Spans remain at ``ops.utf8.utf8_graphemes``."""
         from ..ops.utf8 import utf8_graphemes
 
-        return utf8_graphemes(bytes(self))
+        spans = utf8_graphemes(bytes(self))
+        return Strs._from_views(self, [(o, o + l) for o, l in spans])
 
-    def utf8_sentences(self) -> list[tuple[int, int]]:
-        """UAX-29 sentence spans (binding ``Str.utf8_sentences``, reference
-        ``utf8_sentences.h:37``)."""
+    def utf8_sentences(self) -> "Strs":
+        """UAX-29 sentences as zero-copy ``Str`` views (binding
+        ``Str.utf8_sentences``, ``python/stringzilla.c:5654``: "Iterator
+        yielding Str objects for each sentence"; kernel reference
+        ``utf8_sentences.h:37``). Spans remain at
+        ``ops.utf8_segment.utf8_sentences``."""
         from ..ops.utf8_segment import utf8_sentences
 
-        return utf8_sentences(bytes(self))
+        spans = utf8_sentences(bytes(self))
+        return Strs._from_views(self, [(o, o + l) for o, l in spans])
 
-    def utf8_linebreaks(self) -> list[int]:
-        """UAX-14 line-break opportunity offsets (binding
-        ``Str.utf8_linebreaks``, reference ``utf8_linebreaks.h:41``)."""
+    def utf8_linebreaks(self) -> "Strs":
+        """UAX-14 segments at line-break opportunities as zero-copy views
+        (binding ``Str.utf8_linebreaks``, ``python/stringzilla.c:5715``:
+        "Iterator yielding Str objects for each line-break-opportunity
+        segment"; kernel reference ``utf8_linebreaks.h:41``). Opportunity
+        *offsets* remain at ``ops.utf8_segment.utf8_linebreaks``."""
         from ..ops.utf8_segment import utf8_linebreaks
 
-        return utf8_linebreaks(bytes(self))
+        return self._segments_from_edges(utf8_linebreaks(bytes(self)), Strs)
 
     def _utf8_token_views(self, kind: str, split: bool) -> "Strs":
         from ..ops import utf8 as U
@@ -633,25 +669,41 @@ class Str:
         bounds_fn = {"whitespaces": U.utf8_whitespaces,
                      "newlines": U.utf8_newlines,
                      "delimiters": U.utf8_delimiters}[kind]
+        cls = _UTF8_VIEW_TYPES[kind, split]
         marks = bounds_fn(bytes(self))  # [(off, len), ...] token marks
         if not split:
-            return Strs._from_views(self, [(o, o + l) for o, l in marks])
+            return cls._from_views(self, [(o, o + l) for o, l in marks])
         bounds, pos = [], 0
         for o, l in marks:
             bounds.append((pos, o))
             pos = o + l
         bounds.append((pos, len(self)))
-        return Strs._from_views(self, bounds)
+        return cls._from_views(self, bounds)
 
-    def utf8_split_whitespaces(self) -> "Strs":
+    def utf8_whitespaces(self) -> "Utf8Whitespaces":
+        """Unicode whitespace runs as zero-copy views (binding
+        ``Str.utf8_whitespaces``, reference type ``stringzilla.Utf8Whitespaces``)."""
+        return self._utf8_token_views("whitespaces", split=False)
+
+    def utf8_newlines(self) -> "Utf8Newlines":
+        """Mandatory-break newline tokens as zero-copy views (binding
+        ``Str.utf8_newlines``, reference type ``stringzilla.Utf8Newlines``)."""
+        return self._utf8_token_views("newlines", split=False)
+
+    def utf8_delimiters(self) -> "Utf8Delimiters":
+        """Delimiter tokens as zero-copy views (binding
+        ``Str.utf8_delimiters``, reference type ``stringzilla.Utf8Delimiters``)."""
+        return self._utf8_token_views("delimiters", split=False)
+
+    def utf8_split_whitespaces(self) -> "Utf8SplitWhitespaces":
         """Split between Unicode whitespace runs (binding
         ``utf8_split_whitespaces``)."""
         return self._utf8_token_views("whitespaces", split=True)
 
-    def utf8_split_newlines(self) -> "Strs":
+    def utf8_split_newlines(self) -> "Utf8SplitNewlines":
         return self._utf8_token_views("newlines", split=True)
 
-    def utf8_split_delimiters(self) -> "Strs":
+    def utf8_split_delimiters(self) -> "Utf8SplitDelimiters":
         return self._utf8_token_views("delimiters", split=True)
 
     def utf8_uncased_fold(self) -> "Str":
@@ -928,6 +980,66 @@ class Strs:
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(self))
         return self._take(idx)
+
+
+class FindSplits:
+    """Typed lazy iterator of zero-copy ``Str`` views returned by
+    ``Str.split_iter``/``Str.rsplit_iter`` (reference module type
+    ``stringzilla.FindSplits``, ``python/stringzilla.c:6548``: exported so
+    callers can ``isinstance``-check; iteration is its whole contract)."""
+
+    __slots__ = ("_it",)
+
+    def __init__(self, it):
+        self._it = iter(it)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Str:
+        return next(self._it)
+
+
+# Typed view collections mirroring the reference binding's module-level
+# iterator types (python/stringzilla.c:9744+). The reference exports pure
+# iterators; these subclass ``Strs`` so iteration yields the same zero-copy
+# ``Str`` views while indexing/len stay available (a strict superset).
+class Utf8Wordbreaks(Strs):
+    """TR29 word segments (reference type ``stringzilla.Utf8Wordbreaks``)."""
+
+
+class Utf8Newlines(Strs):
+    """Newline tokens (reference type ``stringzilla.Utf8Newlines``)."""
+
+
+class Utf8Whitespaces(Strs):
+    """Whitespace runs (reference type ``stringzilla.Utf8Whitespaces``)."""
+
+
+class Utf8Delimiters(Strs):
+    """Delimiter tokens (reference type ``stringzilla.Utf8Delimiters``)."""
+
+
+class Utf8SplitNewlines(Strs):
+    """Segments between newlines (ref type ``stringzilla.Utf8SplitNewlines``)."""
+
+
+class Utf8SplitWhitespaces(Strs):
+    """Segments between whitespace runs (ref ``stringzilla.Utf8SplitWhitespaces``)."""
+
+
+class Utf8SplitDelimiters(Strs):
+    """Segments between delimiters (ref ``stringzilla.Utf8SplitDelimiters``)."""
+
+
+_UTF8_VIEW_TYPES = {
+    ("newlines", False): Utf8Newlines,
+    ("whitespaces", False): Utf8Whitespaces,
+    ("delimiters", False): Utf8Delimiters,
+    ("newlines", True): Utf8SplitNewlines,
+    ("whitespaces", True): Utf8SplitWhitespaces,
+    ("delimiters", True): Utf8SplitDelimiters,
+}
 
 
 class File(Str):

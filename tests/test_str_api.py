@@ -256,18 +256,74 @@ def test_binding_surface_extras():
 
 
 def test_str_segmentation_methods():
-    """Str.utf8_wordbreaks/graphemes/sentences/linebreaks mirror the module
-    functions (reference exposes segmentation on Str, python/stringzilla.c)."""
+    """Str.utf8_wordbreaks/graphemes/sentences/linebreaks yield zero-copy
+    Str views — the reference binding's contract ("Iterator yielding Str
+    objects ...", python/stringzilla.c:5469/5592/5654/5715) — consistent
+    with the offset/span kernels in ops."""
     import stringzilla_tpu as szt
     from stringzilla_tpu.ops import utf8 as u8
     from stringzilla_tpu.ops import utf8_segment as useg
 
-    s = szt.Str("Hello world. Déjà vu! 👩‍👩‍👧 end".encode())
-    assert s.utf8_wordbreaks() == useg.utf8_wordbreaks(bytes(s))
-    assert s.utf8_graphemes() == u8.utf8_graphemes(bytes(s))
-    assert s.utf8_sentences() == useg.utf8_sentences(bytes(s))
-    assert s.utf8_linebreaks() == useg.utf8_linebreaks(bytes(s))
-    assert len(s.utf8_wordbreaks()) and len(s.utf8_graphemes())
+    raw = "Hello world. Déjà vu! 👩‍👩‍👧 end".encode()
+    s = szt.Str(raw)
+
+    # wordbreaks: segments between boundary offsets, concatenating to the text
+    words = s.utf8_wordbreaks()
+    assert isinstance(words, szt.Utf8Wordbreaks)
+    assert b"".join(bytes(w) for w in words) == raw
+    offs = useg.utf8_wordbreaks(raw)
+    assert [len(w) for w in words][:-1] == list(
+        np.diff([0] + [o for o in offs if 0 < o < len(raw)]))
+
+    # graphemes: views over the span kernel, one per cluster
+    graphemes = s.utf8_graphemes()
+    assert [(raw.index(bytes(g), o), len(g)) for o, g in
+            zip((sp[0] for sp in u8.utf8_graphemes(raw)), graphemes)] \
+        == u8.utf8_graphemes(raw)
+    assert b"".join(bytes(g) for g in graphemes) == raw
+
+    # sentences: views over the sentence spans
+    sentences = s.utf8_sentences()
+    assert [(bytes(x)) for x in sentences] == \
+        [raw[o:o + l] for o, l in useg.utf8_sentences(raw)]
+
+    # linebreaks: segments between opportunity offsets, covering the text
+    segs = s.utf8_linebreaks()
+    assert b"".join(bytes(x) for x in segs) == raw
+    assert len(words) and len(graphemes)
+
+    # reference iteration contract: 'world' is a yielded token
+    assert any(str(w) == "world" for w in szt.utf8_wordbreaks("Hi, world"))
+    # empty input yields no segments
+    assert len(szt.Str(b"").utf8_wordbreaks()) == 0
+
+
+def test_typed_lazy_iterators():
+    """Module-level iterator/view types exist and are returned by the
+    corresponding calls (reference module exports, python/stringzilla.c:9744+:
+    FindSplits, Utf8Newlines/Whitespaces/Delimiters and the Split variants)."""
+    import stringzilla_tpu as szt
+
+    s = szt.Str(b"one two\nthree, four\n")
+    it = s.split_iter(b" ")
+    assert isinstance(it, szt.FindSplits)
+    assert [bytes(p) for p in it] == [b"one", b"two\nthree,", b"four\n"]
+    assert isinstance(s.rsplit_iter(b" "), szt.FindSplits)
+
+    assert isinstance(s.utf8_newlines(), szt.Utf8Newlines)
+    assert isinstance(s.utf8_whitespaces(), szt.Utf8Whitespaces)
+    assert isinstance(s.utf8_delimiters(), szt.Utf8Delimiters)
+    assert isinstance(s.utf8_split_newlines(), szt.Utf8SplitNewlines)
+    assert isinstance(s.utf8_split_whitespaces(), szt.Utf8SplitWhitespaces)
+    assert isinstance(s.utf8_split_delimiters(), szt.Utf8SplitDelimiters)
+    # newline tokens are the two \n views; split segments rejoin to the text
+    assert [bytes(t) for t in s.utf8_newlines()] == [b"\n", b"\n"]
+    # module-level forms mirror the methods and share the types
+    assert isinstance(szt.utf8_newlines(bytes(s)), szt.Utf8Newlines)
+
+    # __capabilities_str__ mirrors __capabilities__() (reference module
+    # constant, python/stringzilla.c:9695)
+    assert szt.__capabilities_str__ == ",".join(szt.__capabilities__())
 
 
 def test_buffer_introspection_and_layout():
