@@ -54,7 +54,9 @@ def _send(sock, header: dict, blocks: list[np.ndarray]) -> None:
     raw = json.dumps(header).encode("utf-8")
     sock.sendall(_HDR.pack(len(raw)) + raw)
     for b in blocks:
-        sock.sendall(np.ascontiguousarray(b).tobytes())
+        # zero-copy: hand the kernel a view of the array's buffer instead
+        # of materializing a bytes copy (tape payloads are tens of MB)
+        sock.sendall(memoryview(np.ascontiguousarray(b)).cast("B"))
 
 
 def _recv_exact(sock, n: int) -> bytes:
