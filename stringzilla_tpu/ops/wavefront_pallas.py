@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import platform
 
-__all__ = ["wavefront_score", "MAX_FLAT_CELLS"]
+__all__ = ["wavefront_score", "wavefront_score_mim",
+           "levenshtein_long_pair", "MAX_FLAT_CELLS"]
 
 LANES = 128
 BIG = 1 << 28
@@ -482,3 +483,201 @@ def wavefront_score(
         args.append(jnp.asarray(table_bitplanes(table).reshape(8, 32)))
     out = call(*args)
     return int(out[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Banded tier (unit costs, global, min) — Ukkonen band doubling
+# ---------------------------------------------------------------------------
+#
+# The flat kernel pays the FULL longest-diagonal tile on every step; when the
+# true distance d is small (near-duplicate long pairs — the dominant real
+# workload for 100K+ pairs), every optimal path stays inside the band
+# |i-j| <= d, so a band of half-width k >= d suffices and is EXACT by
+# Ukkonen's lemma: any path leaving the band costs > k unit gaps, so if the
+# banded result is <= k it equals the unbanded distance. The wrapper doubles
+# k until that check passes (geometric total <= 2x the final band's work).
+#
+# Band coordinates: on diagonal d, live cells i ∈ [lo(d), lo(d)+2k+1) with
+# lo(d) = max(0, ceil((d-k)/2)); cell i sits at band index u = i - lo(d).
+# lo advances by 0/1 per step, so neighbor reads become +-1 flat shifts
+# selected by the per-step delta — the same roll+row-fix shifts as the flat
+# kernel, on a tile ~2k wide instead of ~min(m,n). The a/b operands stay
+# full-size in VMEM for the streaming registers' dynamic row loads (the
+# proven `b_ref[pl.ds(d // LANES)]` pattern); the DP state shrinks from
+# O(min(m,n)) to O(k).
+#
+# Reference analog: banded Levenshtein with early exit is the classic
+# sz_levenshtein_distance bounded mode (reference `similarities/serial.hpp`
+# bound parameter); the reference does not ship band *doubling* — this tier
+# composes it with the TPU wavefront to make exact long-pair distances cheap
+# when pairs are similar.
+
+
+def _flat_shift_up(X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """``out[flat i] = X[flat i+1]`` over the row-major (rows, 128) layout;
+    the last position receives junk (callers mask it)."""
+    # pltpu.roll requires a non-negative shift: -1 ≡ LANES-1 (mod LANES)
+    Z = (jnp.roll(X, -1, axis=1) if interpret
+         else pltpu.roll(X, LANES - 1, axis=1))
+    col = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    Zdn = jnp.concatenate([Z[1:], Z[-1:]], axis=0)  # row r+1's rolled copy
+    return jnp.where(col == LANES - 1, Zdn, Z)
+
+
+def _band_kernel(rows: int, rows_full: int, k: int, interpret: bool, refs):
+    a_ref, b_ref, q0_ref, t0_ref, mn_ref, out_ref = refs
+    m = mn_ref[0, 0]
+    n = mn_ref[0, 1]
+    ident = jnp.int32(BIG)
+    shape = (rows, LANES)
+    U = rows * LANES
+    flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+    def lo_of(d):
+        return jnp.maximum(0, (d - k + 1) // 2)
+
+    def fetch(ref, nrows, idx, limit, fill):
+        """Scalar ref[idx] via whole-row load + lane reduce (lane-aligned)."""
+        row = ref[pl.ds(jnp.minimum(idx // LANES, nrows - 1), 1), :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        v = jnp.sum(jnp.where(lane == idx % LANES, row, 0))
+        return jnp.where((idx >= 0) & (idx < limit), v, jnp.int32(fill))
+
+    # entering d=2: lo(2)=0 (k >= 2), so band coords == flat coords
+    D2 = jnp.where(flat == 0, 0, ident)
+    D1 = jnp.where(flat <= 1, 1, ident)
+    Q0 = q0_ref[...]  # Q[u] = a[u + lo(d) - 1]
+    T0 = t0_ref[...]  # T[u] = b[d - 1 - (u + lo(d))]
+
+    def step(d, carry):
+        D1, D2, T, Q = carry
+        lo = lo_of(d)
+        d1 = lo - lo_of(d - 1)  # 0/1
+        d2 = lo - lo_of(d - 2)  # 0/1
+        # neighbors in band coords: D[d-1][i] = D1[u + d1],
+        # D[d-1][i-1] = D1[u + d1 - 1], D[d-2][i-1] = D2[u + d2 - 1]
+        D1u = _flat_shift_up(D1, interpret)
+        D1d = _flat_shift_down(D1, interpret)
+        D2d = _flat_shift_down(D2, interpret)
+        up_edge = flat == U - 1   # shift-up feeds junk here
+        dn_edge = flat == 0       # shift-down feeds junk here
+        nb_same = jnp.where(d1 == 0, D1, jnp.where(up_edge, ident, D1u))
+        nb_diag = jnp.where(d1 == 0, jnp.where(dn_edge, ident, D1d), D1)
+        nb_sub = jnp.where(d2 == 0, jnp.where(dn_edge, ident, D2d), D2)
+        sub = jnp.where(Q == T, 0, 1)
+        cand = jnp.minimum(jnp.minimum(nb_same, nb_diag) + 1, nb_sub + sub)
+        i = flat + lo
+        cand = jnp.where((i == 0) & (d <= n), d, cand)
+        cand = jnp.where((i == d) & (d <= m), d, cand)
+        j = d - i
+        valid = ((i <= jnp.minimum(d, m)) & (i >= jnp.maximum(d - n, 0))
+                 & (jnp.abs(i - j) <= k))
+        cand = jnp.where(valid, cand, ident)
+        # advance the streaming registers to d+1's coordinates
+        dn = lo_of(d + 1) - lo  # 0/1
+        # T'[u] = b[d - u - lo(d+1)]: dn=1 -> unchanged; dn=0 -> shift down,
+        # head u=0 takes b[d - lo(d+1)]
+        Ts = _flat_shift_down(T, interpret)
+        bh = fetch(b_ref, rows_full, d - lo_of(d + 1), n, -1)
+        T = jnp.where(dn == 1, T, jnp.where(flat == 0, bh, Ts))
+        # Q'[u] = a[u + lo(d+1) - 1]: dn=0 -> unchanged; dn=1 -> shift up,
+        # tail u=U-1 takes a[lo(d+1) - 2 + U]
+        Qs = _flat_shift_up(Q, interpret)
+        at = fetch(a_ref, rows_full, lo_of(d + 1) - 2 + U, m, -2)
+        Q = jnp.where(dn == 0, Q, jnp.where(flat == U - 1, at, Qs))
+        return cand, D1, T, Q
+
+    # manual 4x unroll (dynamic bounds forbid fori_loop's unroll=): each
+    # sub-step is gated so overshoot beyond d = m+n leaves the carry intact
+    def step4(t, carry):
+        for j in range(4):
+            d = 2 + t * 4 + j
+            new = step(d, carry)
+            keep = d <= m + n
+            carry = tuple(jnp.where(keep, nv, ov)
+                          for nv, ov in zip(new, carry))
+        return carry
+
+    D1, D2, T, Q = jax.lax.fori_loop(0, (m + n - 1 + 3) // 4, step4,
+                                     (D1, D2, T0, Q0))
+    # D[m+n][m] sits at band index m - lo(m+n)
+    u_fin = m - lo_of(m + n)
+    out_ref[0, 0] = jnp.sum(jnp.where(flat == u_fin, D1, 0))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_band(rows: int, rows_full: int, k: int, interpret: bool):
+    kernel = functools.partial(_band_kernel, rows, rows_full, k, interpret)
+    in_specs = [
+        pl.BlockSpec((rows_full, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_full, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    def wrapped(*args):
+        return pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            interpret=interpret,
+        )(*args)
+
+    return jax.jit(wrapped)
+
+
+def levenshtein_long_pair(a: np.ndarray, b: np.ndarray,
+                          k0: int = 64) -> int:
+    """Exact Levenshtein distance of ONE long pair via Ukkonen band
+    doubling over the anti-diagonal wavefront: run the banded kernel at
+    half-width k; if the result is <= k it is exact (paths outside the
+    band cost > k), else double k. Near-duplicate pairs finish in
+    O((m+n) * d) cell work instead of O((m+n) * min(m,n)). Falls back to
+    the flat full-band kernel once the band stops saving tile rows."""
+    a = np.asarray(a).astype(np.int32)
+    b = np.asarray(b).astype(np.int32)
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return m + n
+    flat_cells = max(m + 1, n)
+    rows_flat = -(-max(-(-flat_cells // LANES), 8) // 8) * 8
+    rows_full = max(-(-max(m, n) // LANES), 1)
+
+    def pack_full(x):
+        buf = np.full(rows_full * LANES, -2, dtype=np.int32)
+        buf[: len(x)] = x
+        return jnp.asarray(buf.reshape(rows_full, LANES))
+
+    a2, b2 = pack_full(a), pack_full(b)
+    mn = jnp.asarray(np.array([[m, n]], dtype=np.int32))
+
+    k = max(k0, 2)
+    while k < abs(m - n):  # the band must contain the final cell
+        k *= 2
+    while True:
+        rows = -(-max(-(-(2 * k + 2) // LANES), 8) // 8) * 8
+        if rows >= rows_flat:
+            return wavefront_score(a, b)
+        U = rows * LANES
+        # streaming registers entering d=2 (lo(2)=0): Q[u]=a[u-1], T per flat
+        q0 = np.full(U, -2, dtype=np.int32)
+        q0[1:] = np.pad(a, (0, max(0, U - 1 - m)), constant_values=-2)[: U - 1]
+        t0 = np.full(U, -1, dtype=np.int32)
+        t0[0] = b[1] if n > 1 else -1
+        t0[1] = b[0]
+        call = _build_band(rows, rows_full, k, platform.pallas_interpret())
+        res = int(call(a2, b2,
+                       jnp.asarray(q0.reshape(rows, LANES)),
+                       jnp.asarray(t0.reshape(rows, LANES)), mn)[0, 0])
+        if res <= k:
+            return res
+        # a banded result only over-counts (restricting paths cannot help),
+        # so `res` upper-bounds the true distance: jump the ladder straight
+        # to the rung that will certify it instead of doubling through every
+        # intermediate k (worst case one extra run, usual case exactly two).
+        k = max(2 * k, 1 << int(np.ceil(np.log2(max(res, 2)))))

@@ -130,3 +130,39 @@ def test_mim_staged_tier(rng):
     assert wavefront_score_mim(np.zeros(0, np.uint8), b) == len(b)
     assert wavefront_score_mim(a, np.zeros(0, np.uint8)) == len(a)
     assert wavefront_score_mim(a[:1], b[:1]) in (0, 1)
+
+
+def test_banded_long_pair(rng):
+    """Ukkonen band-doubling tier: exact vs the Wagner-Fischer oracle across
+    near-duplicate and random pairs, including band-edge paths (tiny k0
+    forces several rungs and the adaptive rung jump)."""
+    from stringzilla_tpu.ops.wavefront_pallas import levenshtein_long_pair
+
+    for _ in range(12):
+        m = int(rng.integers(1, 300))
+        a = rng.integers(97, 104, m).astype(np.uint8)
+        if rng.random() < 0.5:
+            b = a.copy()
+            for _ in range(int(rng.integers(0, 6))):
+                b[int(rng.integers(0, len(b)))] ^= 1
+            b = b[: int(rng.integers(max(1, len(b) - 3), len(b) + 1))]
+        else:
+            b = rng.integers(97, 104, int(rng.integers(1, 300))).astype(np.uint8)
+        want = levenshtein(bytes(a.tobytes()), bytes(b.tobytes()))
+        assert levenshtein_long_pair(a, b, k0=4) == want
+        assert levenshtein_long_pair(a, b) == want  # default rung ladder
+
+
+def test_banded_edges():
+    from stringzilla_tpu.ops.wavefront_pallas import levenshtein_long_pair
+
+    e = np.array([], np.uint8)
+    x = np.array([97], np.uint8)
+    assert levenshtein_long_pair(e, e) == 0
+    assert levenshtein_long_pair(e, x) == 1
+    assert levenshtein_long_pair(x, e) == 1
+    assert levenshtein_long_pair(x, x) == 0
+    # strongly unbalanced pair: |m-n| forces the initial rung up
+    a = np.full(900, 97, np.uint8)
+    b = np.full(40, 97, np.uint8)
+    assert levenshtein_long_pair(a, b, k0=4) == 860
