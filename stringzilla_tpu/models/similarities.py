@@ -59,6 +59,18 @@ def _decode_utf8_runes(data: bytes) -> np.ndarray:
     return np.array([ord(c) for c in data.decode("utf-8", errors="replace")], dtype=np.int32)
 
 
+def _reject_integer_like(s) -> None:
+    """Integer-like items must raise TypeError like the reference binding —
+    ``bytes(n)`` would silently yield an n-byte ZERO-FILLED string."""
+    import operator
+
+    try:
+        operator.index(s)
+    except TypeError:
+        return
+    raise TypeError(f"expected a string-like item, got {type(s).__name__}")
+
+
 def _as_int_arrays(items, utf8: bool) -> list[np.ndarray]:
     if isinstance(items, Tape):
         items = items.to_list()
@@ -67,6 +79,7 @@ def _as_int_arrays(items, utf8: bool) -> list[np.ndarray]:
         if isinstance(s, str):
             s = s.encode("utf-8")
         elif not isinstance(s, (bytes, np.ndarray)):
+            _reject_integer_like(s)
             s = bytes(s)  # bytearray/memoryview/Str views
         if isinstance(s, np.ndarray):
             out.append(s.astype(np.int32))
@@ -192,11 +205,17 @@ class _DeviceCollection:
             for s in items:
                 if isinstance(s, str):
                     s = s.encode("utf-8")
+                elif isinstance(s, np.ndarray):
+                    if s.dtype == np.uint8 and s.ndim == 1:
+                        s = s.tobytes()  # values == raw bytes, device-safe
+                    else:
+                        # Pre-decoded int arrays keep the host path (their
+                        # VALUES are chars/runes; memoryview would
+                        # reinterpret raw bytes).
+                        raise _HostFallback
                 elif not isinstance(s, bytes):
-                    try:
-                        s = bytes(s)  # bytearray/memoryview/Str views
-                    except TypeError:
-                        raise _HostFallback from None
+                    _reject_integer_like(s)
+                    s = bytes(s)  # bytearray/memoryview/Str views
                 conv.append(s)
             tape = Tape.from_strings(conv)
         self._tape = tape
@@ -321,8 +340,18 @@ class _CrossProductEngine:
         scope holds a multi-device mesh — the reference's GPU
         ``row_frontier`` pattern over ICI (``cuda.cuh:708-749``).
         Class-cost engines pass the 32x32 table (inputs are already
-        class-mapped); uniform engines pass match/mismatch."""
-        from ..ops.wavefront_pallas import MAX_FLAT_CELLS, wavefront_score
+        class-mapped); uniform engines pass match/mismatch.
+
+        Unit-cost configs route to the Ukkonen band-doubling tier
+        (``levenshtein_long_pair``) instead of the flat wavefront: band
+        doubling is exact by Ukkonen's lemma and strictly cheaper whenever
+        the true distance is below ~half the shorter length — the dominant
+        near-duplicate long-pair workload (the reference's analog is its
+        bounded Levenshtein mode + the CUDA live-tile walk,
+        ``cuda.cuh:708-749``)."""
+        from ..ops.wavefront_pallas import (MAX_FLAT_CELLS,
+                                            levenshtein_long_pair,
+                                            wavefront_score)
         from ..parallel.ring import ring_wavefront_score
 
         cfg = self._cfg
@@ -358,6 +387,8 @@ class _CrossProductEngine:
                     out[i, j] = ring_wavefront_score(
                         q, c, scope.mesh, gap=gap, objective=cfg.objective,
                         locality=cfg.locality, **rkw)
+                elif self._is_unit_cost:
+                    out[i, j] = levenshtein_long_pair(q, c)
                 else:
                     out[i, j] = wavefront_score(
                         q, c, gap=gap, objective=cfg.objective,

@@ -121,8 +121,11 @@ class Str:
     @property
     def address(self) -> int:
         """Host address of the first byte — zero-copy views into a parent
-        buffer report an address inside the parent, as the reference does."""
-        return int(self._buf.ctypes.data) if len(self) else 0
+        buffer report an address inside the parent, as the reference does.
+        Empty strings/views still report their real buffer pointer (numpy
+        views carry a valid pointer at length 0), matching the reference's
+        pointer-identity semantics."""
+        return int(self._buf.ctypes.data)
 
     @property
     def nbytes(self) -> int:
@@ -897,7 +900,8 @@ class Strs:
     def __layout__(self) -> str:
         contiguous = len(self) > 0 and bool(
             (self._ends[:-1] == self._starts[1:]).all()) \
-            and int(self._starts[0]) == 0
+            and int(self._starts[0]) == 0 \
+            and int(self._ends[-1]) == len(self._parent)
         kind = "U64_TAPE_VIEW" if not contiguous else "U64_TAPE"
         return (f"Strs[layout={kind}, count={len(self)}, "
                 f"data=0x{self.tape_address:x}, "

@@ -251,3 +251,20 @@ def test_engines_accept_strs_and_str_views():
     assert d2[0, 0] == 3
     h, _ = sz.Fingerprints(ndim=64)(sz.Strs([b"some fingerprintable text"]))
     assert np.asarray(h).shape[-1] == 64
+
+
+def test_engines_reject_integer_items():
+    """Integer items must raise TypeError (the reference binding rejects
+    non-string-likes) — never coerce through bytes(n) into zero-fill."""
+    import numpy as np
+    import pytest
+
+    import stringzilla_tpu as sz
+
+    eng = sz.LevenshteinDistances()
+    with pytest.raises(TypeError):
+        eng([5], [b"\x00" * 5])
+    with pytest.raises(TypeError):
+        eng([b"ok"], [np.int64(3)])
+    with pytest.raises(TypeError):
+        eng([True], [b"x"])
