@@ -246,15 +246,23 @@ def bench_segmentation(rng):
 
 
 def bench_argsort(rng):
-    from stringzilla_tpu.ops.sort import argsort_strings
+    from stringzilla_tpu.ops.sort import argsort_bounds
 
-    words = [bytes(rng.integers(97, 123, rng.integers(2, 12)).astype(np.uint8))
-             for _ in range(1_000_000)]
+    # LIKE-FOR-LIKE with the reference row: ~8M English-like words, mean
+    # length ~6.5 (BASELINE.md:24, reference README.md:240-263 sorts ~8M
+    # words in 1.91s on a full SPR socket / 0.92s on Graviton5). The CI
+    # host has ONE vCPU (os.cpu_count()==1) — the native MSD sort's thread
+    # fan-out engages on real multi-core hosts (TC_THREADS to override).
+    n = 8_000_000
+    lens = rng.integers(2, 12, n)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = rng.integers(97, 123, offsets[-1]).astype(np.uint8)
     t0 = time.perf_counter()
-    argsort_strings(words)
+    argsort_bounds(data, offsets[:-1], offsets[1:])
     dt = time.perf_counter() - t0
     # baseline is seconds (lower better) → report speedup as baseline/ours
-    print(json.dumps({"metric": "argsort_1M_words", "value": round(dt, 3),
+    print(json.dumps({"metric": "argsort_8M_words", "value": round(dt, 3),
                       "unit": "s", "vs_baseline": round(1.91 / dt, 2)}))
 
 

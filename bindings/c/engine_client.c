@@ -9,8 +9,9 @@
  *   response: u32 header_len | JSON header | raw array blocks
  *
  * Usage: engine_client <socket-path>
- *   Sends a levenshtein request for a small query/candidate tape and a
- *   hash request, verifies the returned values, prints PASS/FAIL.
+ *   Sends a levenshtein request for a small query/candidate tape, a
+ *   seeded hash request, and a fingerprints (MinHash + count-min)
+ *   request; verifies the returned values, prints PASS/FAIL.
  *   Exit 0 on success.  Built and exercised in CI by
  *   tests/test_bindings.py::test_c_engine_client.
  */

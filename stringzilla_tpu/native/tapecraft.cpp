@@ -236,7 +236,10 @@ void tc_pgram_keys(const uint8_t* data, const int64_t* starts,
                    const int64_t* ends, int64_t count,
                    uint32_t* out, int64_t words_per_str,
                    int uncased, int reverse) {
-    for (int64_t r = 0; r < count; ++r) {
+    // Rows are independent — fan the export across cores (the reference's
+    // pgram export is equally embarrassingly parallel, sort.h:9-16).
+    tc_parallel_n_(count, (int64_t)1 << 15, [&](int64_t lo_r, int64_t hi_r) {
+    for (int64_t r = lo_r; r < hi_r; ++r) {
         int64_t lo = starts[r], hi = ends[r];
         int64_t n = hi - lo;
         uint32_t* row = out + r * (words_per_str + 1);
@@ -253,6 +256,7 @@ void tc_pgram_keys(const uint8_t* data, const int64_t* starts,
         }
         row[words_per_str] = reverse ? ~(uint32_t)n : (uint32_t)n;
     }
+    });
 }
 
 // Full-Unicode uncased sort-key export: keys are byte prefixes of the
@@ -774,12 +778,6 @@ int tc_utf8_uncased_find(const uint8_t* data, int64_t n, const uint32_t* nd,
 void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
                      int64_t* order) {
     if (n <= 0) return;
-    std::vector<int64_t> counts(65537, 0);
-    for (int64_t i = 0; i < n; ++i) ++counts[(keys[i * w] >> 16) + 1];
-    for (int64_t d = 0; d < 65536; ++d) counts[d + 1] += counts[d];
-    for (int64_t i = 0; i < n; ++i)
-        order[counts[keys[i * w] >> 16]++] = i;
-    // counts[d] is now the exclusive end of bucket d
     auto cmp = [keys, w](int64_t a, int64_t b) {
         const uint32_t* ra = keys + a * w;
         const uint32_t* rb = keys + b * w;
@@ -789,11 +787,97 @@ void tc_argsort_keys(const uint32_t* keys, int64_t n, int32_t w,
             if (ra[c] != rb[c]) return ra[c] < rb[c];
         return a < b;  // stability
     };
-    int64_t lo = 0;
-    for (int64_t d = 0; d < 65536; ++d) {
-        int64_t hi = counts[d];
-        if (hi - lo > 1) std::sort(order + lo, order + hi, cmp);
-        lo = hi;
+    int parts = tc_thread_budget_();
+    const int64_t kMinRows = 1 << 16;  // below ~64K rows the spawns dominate
+    if (parts > 1 && n / parts < kMinRows) parts = (int)(n / kMinRows);
+    if (parts <= 1) {
+        std::vector<int64_t> counts(65537, 0);
+        for (int64_t i = 0; i < n; ++i) ++counts[(keys[i * w] >> 16) + 1];
+        for (int64_t d = 0; d < 65536; ++d) counts[d + 1] += counts[d];
+        for (int64_t i = 0; i < n; ++i)
+            order[counts[keys[i * w] >> 16]++] = i;
+        // counts[d] is now the exclusive end of bucket d
+        int64_t lo = 0;
+        for (int64_t d = 0; d < 65536; ++d) {
+            int64_t hi = counts[d];
+            if (hi - lo > 1) std::sort(order + lo, order + hi, cmp);
+            lo = hi;
+        }
+        return;
+    }
+    // Parallel MSD counting sort (stable), three phases — buckets are
+    // independent after the scatter, so the per-bucket introsorts fan out
+    // the same way the reference's equal-run recursion does across its
+    // ForkUnion pool.
+    // Phase 1: per-thread histograms over contiguous row ranges.
+    int64_t chunk = (n + parts - 1) / parts;
+    std::vector<int64_t> hist((size_t)parts * 65536, 0);
+    {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)parts);
+        for (int p = 0; p < parts; ++p)
+            pool.emplace_back([&, p] {
+                int64_t lo = chunk * p;
+                int64_t hi = lo + chunk < n ? lo + chunk : n;
+                int64_t* h = hist.data() + (size_t)p * 65536;
+                for (int64_t i = lo; i < hi; ++i) ++h[keys[i * w] >> 16];
+            });
+        for (auto& t : pool) t.join();
+    }
+    // Exclusive prefix bucket-major, thread-minor: thread p's cursor for
+    // bucket d starts after every earlier bucket and after threads < p's
+    // rows in d — earlier input rows land earlier, keeping stability.
+    std::vector<int64_t> bend(65536);  // exclusive end of each bucket
+    {
+        int64_t running = 0;
+        for (int64_t d = 0; d < 65536; ++d) {
+            for (int p = 0; p < parts; ++p) {
+                int64_t c = hist[(size_t)p * 65536 + d];
+                hist[(size_t)p * 65536 + d] = running;
+                running += c;
+            }
+            bend[d] = running;
+        }
+    }
+    // Phase 2: parallel stable scatter.
+    {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)parts);
+        for (int p = 0; p < parts; ++p)
+            pool.emplace_back([&, p] {
+                int64_t lo = chunk * p;
+                int64_t hi = lo + chunk < n ? lo + chunk : n;
+                int64_t* cur = hist.data() + (size_t)p * 65536;
+                for (int64_t i = lo; i < hi; ++i)
+                    order[cur[keys[i * w] >> 16]++] = i;
+            });
+        for (auto& t : pool) t.join();
+    }
+    // Phase 3: per-bucket introsort, buckets packed into contiguous chunks
+    // balanced by element mass (bend is monotone).
+    {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)parts);
+        auto sort_span = [&](int64_t d_lo, int64_t d_hi) {
+            int64_t lo = d_lo ? bend[d_lo - 1] : 0;
+            for (int64_t d = d_lo; d < d_hi; ++d) {
+                int64_t hi = bend[d];
+                if (hi - lo > 1) std::sort(order + lo, order + hi, cmp);
+                lo = hi;
+            }
+        };
+        int64_t d_prev = 0;
+        for (int p = 1; p < parts; ++p) {
+            int64_t target = n / parts * p;
+            int64_t d_cut = std::lower_bound(bend.begin(), bend.end(), target)
+                            - bend.begin();
+            if (d_cut > 65536) d_cut = 65536;
+            if (d_cut > d_prev)
+                pool.emplace_back(sort_span, d_prev, d_cut);
+            d_prev = d_cut > d_prev ? d_cut : d_prev;
+        }
+        sort_span(d_prev, 65536);
+        for (auto& t : pool) t.join();
     }
 }
 

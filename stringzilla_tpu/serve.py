@@ -92,17 +92,29 @@ def _tape(blocks: dict, name: str) -> "Tape":
 class EngineServer:
     """Holds jitted engines warm and serves them on a Unix socket."""
 
+    #: Engine-cache capacity. NW/SW cache keys embed the full byte→class +
+    #: cost-table bytes, so an adversarial client cycling tables could grow
+    #: the cache (and the jit caches behind each engine) without bound — the
+    #: LRU bound caps worker memory at a few dozen warm engines.
+    MAX_CACHED_ENGINES = 32
+
     def __init__(self, path: str):
         self.path = path
-        self._engines: dict[tuple, object] = {}
+        from collections import OrderedDict
+
+        self._engines: "OrderedDict[tuple, object]" = OrderedDict()
         self._server: socketserver.UnixStreamServer | None = None
 
-    # --- engine cache -----------------------------------------------------
+    # --- engine cache (bounded LRU) -----------------------------------------
 
     def _engine(self, key: tuple, make):
         eng = self._engines.get(key)
         if eng is None:
             eng = self._engines[key] = make()
+            while len(self._engines) > self.MAX_CACHED_ENGINES:
+                self._engines.popitem(last=False)
+        else:
+            self._engines.move_to_end(key)
         return eng
 
     # --- op handlers ------------------------------------------------------

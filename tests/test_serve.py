@@ -110,3 +110,18 @@ def test_serve_fuzz_random_tapes(client, rng, iterations):
         (out,) = client.call("levenshtein", tapes={"queries": qs, "candidates": cs})
         np.testing.assert_array_equal(
             out, np.asarray(sz.LevenshteinDistances()(qs, cs)))
+
+
+def test_serve_engine_cache_bounded():
+    """The NW/SW engine cache keys on full table bytes; an adversarial
+    client cycling tables must not grow the worker without bound."""
+    srv = EngineServer("/tmp/unused.sock")
+    for i in range(srv.MAX_CACHED_ENGINES + 10):
+        srv._engine(("k", i), lambda: object())
+    assert len(srv._engines) == srv.MAX_CACHED_ENGINES
+    # LRU: the most recently touched key survives eviction pressure
+    srv._engine(("k", srv.MAX_CACHED_ENGINES + 9), lambda: object())
+    keep = srv._engines[("k", srv.MAX_CACHED_ENGINES + 9)]
+    for i in range(srv.MAX_CACHED_ENGINES - 1):
+        srv._engine(("fresh", i), lambda: object())
+    assert srv._engines[("k", srv.MAX_CACHED_ENGINES + 9)] is keep
