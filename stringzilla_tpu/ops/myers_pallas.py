@@ -345,6 +345,222 @@ def _distinct_alpha(q_t, alphabet: int):
     return n, vals.reshape(1, -1), vals.reshape(-1, 1)
 
 
+# ---------------------------------------------------------------------------
+# Unrolled-words kernel — the round-5 headline path.
+#
+# The stacked kernel above lays a query's W words down the SUBLANE axis, so
+# every cross-word interaction (the add's carry chain, the <<1 bit hand-off)
+# is a cross-sublane roll plus a query-group boundary mask — at the bench
+# shape those rolls + masks are ~35-40% of the per-step VPU work (measured,
+# BENCH_NOTES round-5 ceiling note). This variant unrolls the W words into W
+# SEPARATE (qpack, lanes) arrays (qpack=8 → exactly one sublane tile each):
+# cross-word data flow becomes plain register references, carries become the
+# textbook sequential generate/propagate chain (g | (p & c) per boundary),
+# and every roll/mask disappears. The reference's Myers unrolls word tiers
+# the same way for the same reason (serial.hpp:2163-2417 — 1/2/4/8-word
+# variants with named locals per word).
+#
+# Eq build stays the folded-PEQ MXU matmul, but the packing matrix is built
+# ONCE PER CALL outside the kernel (XLA) and P rides in as an operand; the
+# matmul output rows are laid out (word, half, group) so each word's halves
+# are 8-row-aligned slices — vreg-aligned, safe from the Mosaic sublane-
+# offset pitfall documented above.
+#
+# The in-kernel matmul folds each word into TWO 16-bit halves (not four
+# bytes): P's 16-bit entries exceed bf16's exact-integer range, so each half
+# is split error-free into hi (top 8 bits, pre-shifted — a multiple of 256,
+# hence an 8-bit significand, bf16-exact) and lo (low 8 bits) terms stacked
+# along the contraction axis with a duplicated one-hot. One single-pass bf16
+# matmul then accumulates hi+lo exactly in the MXU's f32 accumulator. The
+# round-5 ablation (benches/myers_unrolled_ablate.py) measured this at
+# 31.3 ms vs 36.3 ms for the 4×8-bit-piece build at the bench shape (fewer
+# output rows to shift-OR back together on the VPU).
+# ---------------------------------------------------------------------------
+
+_UNROLL_QPACK = 8  # one full sublane tile per (word, group-stack) array
+
+
+def _kernel_unrolled(words: int, cand_len: int, alphabet: int, refs):
+    p_ref, qlen_ref, cands_ref, clens_ref, acol_ref, out_ref = refs
+    qpack = _UNROLL_QPACK
+    clens = clens_ref[...]  # (1, lanes)
+    lanes = clens.shape[1]
+
+    # Per-group query lengths from SMEM scalars -> (qpack, lanes).
+    grp_iota = jax.lax.broadcasted_iota(jnp.int32, (qpack, lanes), 0)
+    m_grp = jnp.zeros((qpack, lanes), jnp.int32)
+    for k in range(qpack):
+        m_grp = jnp.where(grp_iota == k, qlen_ref[0, k, 0], m_grp)
+
+    # VP init per word: bits [0, m) set.
+    VP0 = []
+    for w in range(words):
+        in_word = jnp.clip(m_grp - w * 32, 0, 32)
+        VP0.append(jnp.where(in_word >= 32, jnp.int32(-1),
+                             jnp.left_shift(jnp.int32(1), in_word) - 1))
+    VP0 = tuple(VP0)
+    VN0 = tuple(jnp.zeros((qpack, lanes), jnp.int32) for _ in range(words))
+
+    P = p_ref[0]  # (words*2*qpack, 2*alphabet) — rows (w, half, group)
+    alpha_col = acol_ref[...]  # (alphabet, 1)
+
+    def build_eq(j):
+        """Packed match masks for (1-based) step j — one int32 array per
+        word. Clamped read past the end keeps the software pipeline's
+        prefetch of step cand_len+1 in bounds.
+
+        P holds each 16-bit half split error-free into hi/lo bf16 terms
+        stacked along the contraction axis, so the duplicated one-hot makes
+        ONE single-pass bf16 matmul reassemble the exact 16-bit value in the
+        f32 accumulator (see the block comment above)."""
+        jc = jnp.minimum(j - 1, cand_len - 1)
+        c_row = cands_ref[pl.ds(jc, 1), :]  # (1, lanes)
+        ohc = (alpha_col == c_row).astype(jnp.bfloat16)  # (alphabet, lanes)
+        ohc2 = jnp.concatenate([ohc, ohc], axis=0)  # (2*alphabet, lanes)
+        p2 = jax.lax.dot_general(P, ohc2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32)  # (words*2*qpack, lanes)
+        return tuple(p2[w * 2 * qpack:(w * 2 + 1) * qpack]
+                     | (p2[(w * 2 + 1) * qpack:(w * 2 + 2) * qpack] << 16)
+                     for w in range(words))
+
+    def step(j, carry):
+        VP, VN, Eq = carry
+        # Software pipeline: the MXU packing for step j+1 has no dependency
+        # on step j's VPU recurrence.
+        Eq_next = build_eq(j + 1)
+
+        Xv = [Eq[w] | VN[w] for w in range(words)]
+        t = [Eq[w] & VP[w] for w in range(words)]
+        s1 = [t[w] + VP[w] for w in range(words)]
+        # Sequential carry chain across the unrolled words: word w generates
+        # a carry iff its raw add overflowed, propagates iff the raw sum is
+        # all-ones. W-1 generate/propagate registers, no rolls, no masks.
+        s = [s1[0]]
+        if words > 1:
+            c = _uless(s1[0], t[0]).astype(jnp.int32)  # carry out of word 0
+            for w in range(1, words):
+                s.append(s1[w] + c)
+                if w < words - 1:
+                    g = _uless(s1[w], t[w]).astype(jnp.int32)
+                    p = (s1[w] == -1)
+                    c = g | jnp.where(p, c, 0)
+        Xh = [(s[w] ^ VP[w]) | Eq[w] for w in range(words)]
+        Ph = [VN[w] | ~(Xh[w] | VP[w]) for w in range(words)]
+        Mh = [VP[w] & Xh[w] for w in range(words)]
+
+        # Shift left by one across words: bit 31 of word w feeds bit 0 of
+        # word w+1; word 0's bit 0 takes the horizontal boundary (1 for Ph —
+        # the reference's D[0][j] = j — and 0 for Mh).
+        PhS = [(Ph[0] << 1) | 1]
+        MhS = [Mh[0] << 1]
+        for w in range(1, words):
+            PhS.append((Ph[w] << 1) | ((Ph[w - 1] >> 31) & 1))
+            MhS.append((Mh[w] << 1) | ((Mh[w - 1] >> 31) & 1))
+
+        live = j <= clens  # (1, lanes) — lanes freeze at their own end
+        VPn = []
+        VNn = []
+        for w in range(words):
+            VPn.append(jnp.where(live, MhS[w] | ~(Xv[w] | PhS[w]), VP[w]))
+            VNn.append(jnp.where(live, PhS[w] & Xv[w], VN[w]))
+        return tuple(VPn), tuple(VNn), Eq_next
+
+    VPf, VNf, _ = jax.lax.fori_loop(
+        1, cand_len + 1, step, (VP0, VN0, build_eq(1)))
+
+    # End-only popcount scoring (same invariant as the stacked kernel):
+    # D[m][n] = n + popcnt(VP & mask) - popcnt(VN & mask), mask = VP0.
+    def _popcnt(v):
+        v = v - ((v >> 1) & 0x55555555)
+        v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+        v = (v + (v >> 4)) & 0x0F0F0F0F
+        return (v * 0x01010101) >> 24
+
+    delta = jnp.zeros((qpack, lanes), jnp.int32)
+    for w in range(words):
+        delta += _popcnt(VPf[w] & VP0[w]) - _popcnt(VNf[w] & VP0[w])
+    out_ref[0] = jnp.broadcast_to(clens, (qpack, lanes)) + delta
+
+
+@functools.lru_cache(maxsize=256)
+def _build_unrolled(words: int, cand_len: int, n_qblocks: int, n_cands: int,
+                    lane_block: int, alphabet: int, interpret: bool):
+    qpack = _UNROLL_QPACK
+    grid = (n_qblocks, n_cands // lane_block)
+    rows = words * 32
+    pieces, bits = 2, 16
+    pr = words * pieces * qpack
+
+    in_specs = [
+        pl.BlockSpec((1, pr, 2 * alphabet), lambda qi, cb: (qi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qpack, 1), lambda qi, cb: (qi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((cand_len, lane_block), lambda qi, cb: (0, cb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lane_block), lambda qi, cb: (0, cb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((alphabet, 1), lambda qi, cb: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_kernel_unrolled, words, cand_len, alphabet)
+    cost = pl.CostEstimate(
+        flops=25 * qpack * words * cand_len * lane_block,
+        bytes_accessed=(pr * 2 * alphabet * 2 + cand_len * lane_block * 4
+                        + qpack * lane_block * 4),
+        transcendentals=0,
+    )
+
+    # The folded-PEQ packing matrix, built once per compile: output row
+    # (w, half, k) holds 2^(r - 32w - 16*half) for query rows r of group k
+    # in that 16-bit range — so the kernel's matmul output slices per word
+    # are 8-row (= qpack) aligned. Exactness: S entries are single powers of
+    # two ≤ 2^15 (bf16-exact) and per-output sums of distinct powers stay
+    # < 2^16 — exact in the MXU's f32 accumulator.
+    oi = np.arange(pr)[:, None]
+    ri = np.arange(qpack * rows)[None, :]
+    o_w, o_rem = oi // (pieces * qpack), oi % (pieces * qpack)
+    o_piece, o_grp = o_rem // qpack, o_rem % qpack
+    rel = (ri % rows) - o_w * 32 - o_piece * bits
+    # Kept as numpy: converted inside the traced function so the constant is
+    # embedded per trace context (a concrete jnp array here would carry a
+    # device/mesh aval and break calls from inside shard_map).
+    S16_np = np.where((o_grp == ri // rows) & (rel >= 0) & (rel < bits),
+                      (1 << np.clip(rel, 0, bits - 1)).astype(np.int64),
+                      0).astype(np.float32)
+
+    def wrapped(queries_3d, qlens_3d, cands_t, clens, arow, acol):
+        S16 = jnp.asarray(S16_np).astype(jnp.bfloat16)
+        # P[b] = S16 @ one_hot(q_b) — per-query-block folded PEQ, computed
+        # in XLA once per call and streamed to the kernel per grid row. The
+        # 16-bit entries are then split error-free into hi (top 8 bits,
+        # pre-shifted — multiples of 256 with 8-bit significands, bf16-exact)
+        # and lo (low 8 bits) terms stacked along the contraction axis for
+        # the kernel's single-pass bf16 matmul.
+        q1 = (queries_3d == arow[None]).astype(jnp.bfloat16)  # (B, qp*rows, A)
+        P = jax.lax.dot_general(S16, q1, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        P = jnp.transpose(P, (1, 0, 2))  # (B, pr, A), entries < 2^16, exact
+        hi = jnp.floor(P * (1.0 / 256.0)) * 256.0
+        P = jnp.concatenate([hi, P - hi], axis=2).astype(jnp.bfloat16)
+        out = pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, qpack, lane_block),
+                                   lambda qi, cb: (qi, 0, cb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_qblocks, qpack, n_cands),
+                                           jnp.int32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(P, qlens_3d, cands_t, clens, acol)
+        return out.reshape(n_qblocks * qpack, n_cands)
+
+    return jax.jit(wrapped)
+
+
 def myers_pallas(
     q_t: jnp.ndarray,  # (rows32, n_queries) int32 — query chars, pad -1
     qlens: jnp.ndarray,  # (n_queries, 1) int32
@@ -375,6 +591,39 @@ def myers_pallas(
         alphabet, arow, acol = _distinct_alpha(q_t, alphabet)
         alpha_args = (jnp.asarray(arow), jnp.asarray(acol))
     cand_len, n_cands = cands_t.shape
+    import os
+
+    use_unrolled = (alphabet is not None and words <= 8 and qpack is None
+                    and not os.environ.get("SZ_MYERS_STACKED"))
+    if use_unrolled:
+        qpack = _UNROLL_QPACK
+        if lane_block is None:
+            # On-chip sweep (round 5): wider blocks than the stacked tuning —
+            # 1024 lanes at words=4 reads ~15% over 512 (1132 vs 978 GCUPS in
+            # one window); 2048 is within noise of 1024, 4096 slightly down.
+            lane_block = max(
+                128, min(2048, (1 << 20) // (32 * words * qpack)))
+            lane_block = 1 << (int(lane_block).bit_length() - 1)
+        lane_block = min(lane_block, n_cands)
+        if n_cands % lane_block:
+            raise ValueError(
+                f"n_cands {n_cands} not a multiple of lane_block {lane_block}")
+        n_qpad = -(-n_queries // qpack) * qpack
+        if n_qpad != n_queries:
+            q_t = jnp.concatenate(
+                [q_t, jnp.full((rows, n_qpad - n_queries), -1, jnp.int32)],
+                axis=1)
+            qlens = jnp.concatenate(
+                [jnp.asarray(qlens),
+                 jnp.zeros((n_qpad - n_queries, 1), jnp.int32)], axis=0)
+        call = _build_unrolled(words, cand_len, n_qpad // qpack, n_cands,
+                               lane_block, alphabet,
+                               platform.pallas_interpret())
+        queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
+        out = call(queries_3d,
+                   jnp.asarray(qlens).reshape(n_qpad // qpack, qpack, 1),
+                   cands_t, clens, *alpha_args)
+        return out[:n_queries]
     if lane_block is None:
         lane_block = pick_myers_lane_block(words, cand_len)
     lane_block = min(lane_block, n_cands)
