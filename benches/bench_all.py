@@ -441,6 +441,36 @@ def bench_fingerprints(rng):
     emit("fingerprints_device_out", total * 256 / dt_dev / 1e9, "Ghash/s",
          total * 256 / dt / 1e9)
 
+    # Kernel tier: device-resident operands, the rate the BENCH_NOTES VPU
+    # ceiling accounting applies to (same convention as the NW/Myers
+    # kernel-tier rows). One dyadic bucket at the bench shape.
+    import jax.numpy as jnp
+
+    from stringzilla_tpu.ops.fingerprints import (DEFAULT_WINDOW_WIDTHS,
+                                                  derive_params)
+    from stringzilla_tpu.ops.fingerprints_pallas import (
+        fingerprint_all_groups, pack_limbs)
+
+    doc_len, n_docs = 192, 32768
+    lens_np = rng.integers(60, doc_len + 1, n_docs).astype(np.int32)
+    docs_np = rng.integers(32, 127, (doc_len, n_docs)).astype(np.uint8)
+    widths = DEFAULT_WINDOW_WIDTHS
+    params = derive_params(256, widths)
+    order = np.argsort([list(widths).index(int(w)) for w in params["width"]],
+                       kind="stable")
+    group_sizes = tuple(int((params["width"] == w).sum()) for w in widths)
+    args = (jnp.asarray(docs_np), jnp.asarray(lens_np.reshape(1, -1)),
+            jnp.asarray(np.array(widths, np.int32).reshape(1, -1)),
+            group_sizes,
+            jnp.asarray(params["mult"][order].astype(np.int32).reshape(-1, 1)),
+            jnp.asarray(pack_limbs(params["modulo"][order]).reshape(2, -1, 1)),
+            jnp.asarray(pack_limbs(params["fused_disc"][order]).reshape(2, -1, 1)),
+            jnp.asarray((1.0 / params["modulo"][order].astype(np.float32))
+                        .reshape(-1, 1)))
+    dt_k = timed(lambda: fingerprint_all_groups(*args)[0])
+    emit("fingerprints_kernel_tier", float(lens_np.sum()) * 256 / dt_k / 1e9,
+         "Ghash/s", 0.993)
+
 
 def bench_serve(rng):
     """Engine calls over the serving socket vs in-process at the same

@@ -36,8 +36,18 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from stringzilla_tpu.ops.fingerprints import (DEFAULT_WINDOW_WIDTHS,
                                               derive_params)  # noqa: E402
-from stringzilla_tpu.ops.fingerprints_pallas import (  # noqa: E402
-    fingerprint_all_groups, pack_limbs)
+
+
+def pack_limbs(values):
+    """3x16-bit limbs — the ROUND-4 production packing, kept here for the
+    `ship` (old 3-limb kernel) timing reference after production moved to
+    the 2-limb layout."""
+    v = np.asarray(values, dtype=np.int64)
+    return np.stack([
+        (v & 0xFFFF).astype(np.int32),
+        ((v >> 16) & 0xFFFF).astype(np.int32),
+        ((v >> 32) & 0xFFFF).astype(np.int32),
+    ])
 
 DOC_LEN, N_DOCS, NDIM = 192, 4096, 256
 DURATION = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
@@ -271,6 +281,132 @@ def _kernel2(doc_len, group_sizes, unroll, refs):
     count_ref[...] = jnp.where(skipped, 0, count)
 
 
+def _kernel_hist(doc_len, group_sizes, widths_static, refs):
+    """2x21-bit limbs + STATIC widths + a 32-slot register row-history:
+    the steady-state body reads every group's discarded term from a rotating
+    register file instead of 8 dynamic row loads + wheres, and drops the
+    window-fill predicate entirely (t >= 32 > max width). The first 32 steps
+    are peeled with static Python-time window-fill logic."""
+    (docs_ref, lens_ref, widths_ref, mult_ref, m_ref, fd_ref, inv_ref,
+     hash_ref, count_ref) = refs
+    del widths_ref  # static in this variant
+    dims = mult_ref.shape[0]
+    lanes = docs_ref.shape[1]
+    HIST = 32
+    assert max(widths_static) < HIST and doc_len >= HIST
+
+    mult = mult_ref[...]
+    m0, m1 = m_ref[0], m_ref[1]
+    f0, f1 = fd_ref[0], fd_ref[1]
+    inv_m = inv_ref[...]
+    lens = lens_ref[...]
+
+    wrow = jnp.concatenate(
+        [jnp.full((sz, 1), w, jnp.int32)
+         for w, sz in zip(widths_static, group_sizes)], axis=0)
+    wm1 = wrow - 1
+
+    zeros = jnp.zeros((dims, lanes), jnp.int32)
+
+    def _row(t):
+        return docs_ref[pl.ds(t, 1), :] + 1
+
+    def arith(s0, s1, old_term, term):
+        p0 = s0 * mult + f0 * old_term + term
+        p1 = s1 * mult + f1 * old_term
+        p1 += p0 >> LIMB2
+        p0 &= MASK2
+        xf = p1.astype(jnp.float32) * 2097152.0 + p0.astype(jnp.float32)
+        q = jnp.maximum(jnp.floor(xf * inv_m).astype(jnp.int32), 0)
+        r0 = p0 - q * m0
+        r1 = p1 - q * m1
+        r1 += r0 >> LIMB2
+        r0 &= MASK2
+        neg = r1 < 0
+        a0 = r0 + jnp.where(neg, m0, 0)
+        a1 = r1 + jnp.where(neg, m1, 0)
+        a1 += a0 >> LIMB2
+        a0 &= MASK2
+        ge = (a1 > m1) | ((a1 == m1) & (a0 >= m0))
+        s0 = a0 - jnp.where(ge, m0, 0)
+        s1 = a1 - jnp.where(ge, m1, 0)
+        s1 += s0 >> LIMB2
+        s0 &= MASK2
+        return s0, s1
+
+    def track(t, s0, s1, mn0, mn1, count, full_window):
+        live = t < lens
+        upd = live if full_window else ((t >= wm1) & live)
+        lt = (s1 < mn1) | ((s1 == mn1) & (s0 < mn0))
+        eq = (s1 == mn1) & (s0 == mn0)
+        count = jnp.where(upd & lt, 1, jnp.where(upd & eq, count + 1, count))
+        take = upd & lt
+        return (jnp.where(take, s0, mn0), jnp.where(take, s1, mn1), count)
+
+    # --- peel: first HIST steps, window-fill logic resolved at trace time ---
+    s0, s1 = zeros, zeros
+    mn0 = jnp.zeros((dims, lanes), jnp.int32)
+    mn1 = jnp.full((dims, lanes), SENTINEL2, jnp.int32)
+    count = zeros
+    hist = [None] * HIST
+    for t in range(HIST):
+        term = _row(t)
+        hist[t % HIST] = term
+        parts = []
+        for (w, sz) in zip(widths_static, group_sizes):
+            og = hist[(t - w) % HIST] if t >= w else jnp.zeros((1, lanes), jnp.int32)
+            parts.append(jnp.broadcast_to(og, (sz, lanes)))
+        old_term = jnp.concatenate(parts, axis=0)
+        s0, s1 = arith(s0, s1, old_term, term)
+        mn0, mn1, count = track(t, s0, s1, mn0, mn1, count, False)
+
+    # --- steady state: blocks of HIST with static history slots ---
+    n_blocks = (doc_len - HIST) // HIST
+
+    def block(b, carry):
+        s0, s1, mn0, mn1, count, *hist = carry
+        hist = list(hist)
+        t0 = HIST + b * HIST
+        for k in range(HIST):
+            t = t0 + k
+            term = _row(t)
+            hist[k] = term  # (t % HIST) == k
+            parts = []
+            for (w, sz) in zip(widths_static, group_sizes):
+                parts.append(jnp.broadcast_to(hist[(k - w) % HIST], (sz, lanes)))
+            old_term = jnp.concatenate(parts, axis=0)
+            s0, s1 = arith(s0, s1, old_term, term)
+            mn0, mn1, count = track(t, s0, s1, mn0, mn1, count, True)
+        return (s0, s1, mn0, mn1, count, *hist)
+
+    carry = jax.lax.fori_loop(0, n_blocks, block,
+                              (s0, s1, mn0, mn1, count, *hist))
+    s0, s1, mn0, mn1, count = carry[:5]
+    hist = list(carry[5:])
+
+    # --- tail: plain dynamic-load body ---
+    def tail_body(t, carry):
+        s0, s1, mn0, mn1, count = carry
+        term = _row(t)
+        parts = []
+        for (w, sz) in zip(widths_static, group_sizes):
+            og = _row(jnp.maximum(t - w, 0))
+            parts.append(jnp.broadcast_to(og, (sz, lanes)))
+        old_term = jnp.concatenate(parts, axis=0)
+        s0, s1 = arith(s0, s1, old_term, term)
+        mn0, mn1, count = track(t, s0, s1, mn0, mn1, count, True)
+        return s0, s1, mn0, mn1, count
+
+    s0, s1, mn0, mn1, count = jax.lax.fori_loop(
+        HIST + n_blocks * HIST, doc_len, tail_body,
+        (s0, s1, mn0, mn1, count))
+
+    skipped = mn1 >= SENTINEL2
+    hash32 = (mn1 << LIMB2) | mn0
+    hash_ref[...] = jnp.where(skipped, jnp.int32(-1), hash32)
+    count_ref[...] = jnp.where(skipped, 0, count)
+
+
 @functools.lru_cache(maxsize=64)
 def build(mode, doc_len, group_sizes, n_docs, lane_block=128, interpret=False):
     dims = sum(group_sizes)
@@ -284,7 +420,10 @@ def build(mode, doc_len, group_sizes, n_docs, lane_block=128, interpret=False):
     spec_limbs = pl.BlockSpec((n_limbs, dims, 1), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((dims, lane_block), lambda d: (0, d), memory_space=pltpu.VMEM)
 
-    if mode.startswith("limb2"):
+    if mode == "limb2hist":
+        kernel = functools.partial(_kernel_hist, doc_len, group_sizes,
+                                   DEFAULT_WINDOW_WIDTHS)
+    elif mode.startswith("limb2"):
         unroll = {"limb2u8": 8, "limb2u4": 4}.get(mode, 1)
         kernel = functools.partial(_kernel2, doc_len, group_sizes, unroll)
     else:
@@ -371,7 +510,7 @@ def main():
 
     ref_out = None
     for mode in ("ship", "noold", "nobarrett", "nomin", "limb2", "limb2u4",
-                 "limb2u8"):
+                 "limb2u8", "limb2hist"):
         limbs = (m2, f2) if mode.startswith("limb2") else (m3, f3)
         fn = build(mode, DOC_LEN, group_sizes, N_DOCS)
         args = (docs, lens, widths_a, mult_a, limbs[0], limbs[1], inv_a)
