@@ -68,9 +68,9 @@ class Fingerprints:
         self._mult = jnp.asarray(
             self._params["mult"][pad].astype(np.int32).reshape(dims, 1))
         self._m_limbs = jnp.asarray(
-            pack_limbs(self._params["modulo"][pad]).reshape(3, dims, 1))
+            pack_limbs(self._params["modulo"][pad]).reshape(2, dims, 1))
         self._fd_limbs = jnp.asarray(
-            pack_limbs(self._params["fused_disc"][pad]).reshape(3, dims, 1))
+            pack_limbs(self._params["fused_disc"][pad]).reshape(2, dims, 1))
         self._inv_m = jnp.asarray(
             (1.0 / self._params["modulo"][pad].astype(np.float32)).reshape(dims, 1))
 
