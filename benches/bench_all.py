@@ -685,8 +685,17 @@ def main():
 
         here = os.path.abspath(__file__)
         for name in BENCHES:
-            proc = subprocess.run([sys.executable, here, name],
-                                  capture_output=True, text=True, timeout=1200)
+            try:
+                proc = subprocess.run([sys.executable, here, name],
+                                      capture_output=True, text=True,
+                                      timeout=1200)
+            except subprocess.TimeoutExpired:
+                # A hung metric (e.g. a tunnel outage mid-row) must not
+                # abort the rest of the pass — emit an error row and move on.
+                print(json.dumps({"metric": name,
+                                  "error": "timeout after 1200s"}),
+                      flush=True)
+                continue
             rows = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if rows:
                 print("\n".join(rows), flush=True)
