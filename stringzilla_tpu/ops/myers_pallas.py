@@ -245,8 +245,11 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
         VN = jnp.where(live, VN_new, VN)
         return VP, VN, Eq_next
 
+    # Dynamic trip count: lanes freeze at their own end, so max(clen) steps
+    # are exact for the whole block; callers length-sort candidates so
+    # blocks are length-homogeneous (see _build_unrolled's lensort note).
     VPf, VNf, _ = jax.lax.fori_loop(
-        1, cand_len + 1, step, (VP0, VN0, build_eq(1)))
+        1, jnp.max(clens) + 1, step, (VP0, VN0, build_eq(1)))
 
     # End-only score extraction: the live-freeze leaves each lane's state at
     # its OWN final column n = clen, where the Myers invariant gives
@@ -269,7 +272,8 @@ def _kernel(words: int, cand_len: int, qpack: int, alphabet, refs):
 
 @functools.lru_cache(maxsize=256)
 def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
-           lane_block: int, qpack: int, alphabet, interpret: bool):
+           lane_block: int, qpack: int, alphabet, lensort: bool,
+           interpret: bool):
     grid = (n_qblocks, n_cands // lane_block)
     rows = words * 32
 
@@ -299,6 +303,12 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
     )
 
     def wrapped(queries_3d, qlens_3d, cands_t, clens, *alpha):
+        if lensort:
+            # Device-side length sort → length-homogeneous lane blocks for
+            # the kernel's dynamic trip count (see _build_unrolled).
+            order = jnp.argsort(clens[0])
+            cands_t = jnp.take(cands_t, order, axis=1)
+            clens = jnp.take(clens, order, axis=1)
         out = pl.pallas_call(
             lambda *refs: kernel(refs),
             grid=grid,
@@ -311,7 +321,10 @@ def _build(words: int, cand_len: int, n_qblocks: int, n_cands: int,
             cost_estimate=cost,
             interpret=interpret,
         )(queries_3d, qlens_3d, cands_t, clens, *alpha)
-        return out.reshape(n_qblocks * qpack, n_cands)
+        out = out.reshape(n_qblocks * qpack, n_cands)
+        if lensort:
+            out = jnp.take(out, jnp.argsort(order), axis=1)
+        return out
 
     return jax.jit(wrapped)
 
@@ -466,8 +479,14 @@ def _kernel_unrolled(words: int, cand_len: int, alphabet: int, refs):
             VNn.append(jnp.where(live, PhS[w] & Xv[w], VN[w]))
         return tuple(VPn), tuple(VNn), Eq_next
 
+    # Dynamic trip count: this block only needs max(clen) steps — lanes
+    # freeze at their own end, so any bound ≥ the block max is exact, and
+    # the caller length-sorts candidates so blocks are length-homogeneous
+    # (see the lensort note in _build_unrolled). On the random ~N(100, 12.5)
+    # headline shape this removes the ~25% of steps the padded cand_len=128
+    # tile would spend with every lane frozen.
     VPf, VNf, _ = jax.lax.fori_loop(
-        1, cand_len + 1, step, (VP0, VN0, build_eq(1)))
+        1, jnp.max(clens) + 1, step, (VP0, VN0, build_eq(1)))
 
     # End-only popcount scoring (same invariant as the stacked kernel):
     # D[m][n] = n + popcnt(VP & mask) - popcnt(VN & mask), mask = VP0.
@@ -485,7 +504,8 @@ def _kernel_unrolled(words: int, cand_len: int, alphabet: int, refs):
 
 @functools.lru_cache(maxsize=256)
 def _build_unrolled(words: int, cand_len: int, n_qblocks: int, n_cands: int,
-                    lane_block: int, alphabet: int, interpret: bool):
+                    lane_block: int, alphabet: int, lensort: bool,
+                    interpret: bool):
     qpack = _UNROLL_QPACK
     grid = (n_qblocks, n_cands // lane_block)
     rows = words * 32
@@ -531,6 +551,18 @@ def _build_unrolled(words: int, cand_len: int, n_qblocks: int, n_cands: int,
                       0).astype(np.float32)
 
     def wrapped(queries_3d, qlens_3d, cands_t, clens, arow, acol):
+        if lensort:
+            # Length-sort candidates so each lane block is length-homogeneous
+            # — the kernel's dynamic trip count then runs each block only to
+            # ITS max candidate length instead of the padded tile length.
+            # Everything (sort, gathers, inverse permutation) stays on
+            # device inside this jit; exactness is untouched (the per-lane
+            # freeze already handles any intra-block spread). The reference
+            # performs the analogous scheduling host-side when it buckets
+            # tasks by length (similarities.hpp small/large scheduler).
+            order = jnp.argsort(clens[0])
+            cands_t = jnp.take(cands_t, order, axis=1)
+            clens = jnp.take(clens, order, axis=1)
         S16 = jnp.asarray(S16_np).astype(jnp.bfloat16)
         # P[b] = S16 @ one_hot(q_b) — per-query-block folded PEQ, computed
         # in XLA once per call and streamed to the kernel per grid row. The
@@ -556,7 +588,10 @@ def _build_unrolled(words: int, cand_len: int, n_qblocks: int, n_cands: int,
             cost_estimate=cost,
             interpret=interpret,
         )(P, qlens_3d, cands_t, clens, acol)
-        return out.reshape(n_qblocks * qpack, n_cands)
+        out = out.reshape(n_qblocks * qpack, n_cands)
+        if lensort:
+            out = jnp.take(out, jnp.argsort(order), axis=1)
+        return out
 
     return jax.jit(wrapped)
 
@@ -618,6 +653,7 @@ def myers_pallas(
                  jnp.zeros((n_qpad - n_queries, 1), jnp.int32)], axis=0)
         call = _build_unrolled(words, cand_len, n_qpad // qpack, n_cands,
                                lane_block, alphabet,
+                               not os.environ.get("SZ_MYERS_NO_LENSORT"),
                                platform.pallas_interpret())
         queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
         out = call(queries_3d,
@@ -639,7 +675,9 @@ def myers_pallas(
             [jnp.asarray(qlens), jnp.zeros((n_qpad - n_queries, 1), jnp.int32)],
             axis=0)
     call = _build(words, cand_len, n_qpad // qpack, n_cands, lane_block,
-                  qpack, alphabet, platform.pallas_interpret())
+                  qpack, alphabet,
+                  not os.environ.get("SZ_MYERS_NO_LENSORT"),
+                  platform.pallas_interpret())
     queries_3d = q_t.T.reshape(n_qpad // qpack, qpack * rows, 1)
     out = call(queries_3d, jnp.asarray(qlens).reshape(n_qpad // qpack, qpack, 1),
                cands_t, clens, *alpha_args)
