@@ -706,7 +706,11 @@ def main():
         return
     rng = np.random.default_rng(42)
     for name, fn in BENCHES.items():
-        if filt not in name:
+        # Exact key → run just that metric (the full pass spawns each key,
+        # and "levenshtein" must not also run "levenshtein_utf8");
+        # otherwise substring filter for interactive use.
+        skip = (name != filt) if filt in BENCHES else (filt not in name)
+        if skip:
             continue
         try:
             fn(rng)

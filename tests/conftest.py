@@ -37,9 +37,10 @@ def iterations():
     knob ``SZ_TESTS_MULTIPLIER``, reference ``CONTRIBUTING.md:183-236``).
 
     The default (0.25) pins the full suite under the 10-minute CI budget on
-    the 1-core image: measured 7:21 at 0.25x (184 tests, round 5; 12:34 at
-    0.5x when last swept — ~5-6 min is fixed compile/import cost, fuzz
-    scales the rest).
+    the 1-core image: measured 5:18 at 0.25x on an idle host (184 tests,
+    round 5 final; 8:39-11:41 under concurrent bench load, 12:34 at 0.5x
+    when last swept — ~4-5 min is fixed compile/import cost, fuzz scales
+    the rest).
     Nightly/deep runs set ``SZ_TESTS_MULTIPLIER=10`` for the
     reference-depth sweeps."""
     mult = float(os.environ.get("SZ_TESTS_MULTIPLIER", "0.25"))
