@@ -524,97 +524,175 @@ def _flat_shift_up(X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     return jnp.where(col == LANES - 1, Zdn, Z)
 
 
-def _band_kernel(rows: int, rows_full: int, k: int, interpret: bool, refs):
-    a_ref, b_ref, q0_ref, t0_ref, mn_ref, out_ref = refs
+def _band_kernel(rows: int, rows_full: int, interpret: bool,
+                 check_every: int, refs):
+    """One launch runs the WHOLE doubling ladder: the half-width k is a
+    runtime SMEM scalar, rung state lives in a fixed (rows, 128) tile sized
+    for kmax, and each rung aborts early once the band minimum exceeds its
+    k. The abort step also prices the next rung: frontier minima grow
+    roughly linearly in walked diagonals for scattered-edit pairs, so
+    k * tmax / t_abort estimates the true distance and the ladder jumps
+    straight to the rung that will certify it. One device call — and one
+    tunnel round-trip — replaces a host-synchronized rung sequence."""
+    ab_ref, q0_ref, t0_ref, mn_ref, out_ref = refs
     m = mn_ref[0, 0]
     n = mn_ref[0, 1]
+    k0 = mn_ref[0, 2]
+    kmax = mn_ref[0, 3]
     ident = jnp.int32(BIG)
     shape = (rows, LANES)
     U = rows * LANES
     flat = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    ce = max(check_every, 1)
+    tmax = (m + n - 1 + 3) // 4
+    tmac = (tmax + ce - 1) // ce
 
-    def lo_of(d):
-        return jnp.maximum(0, (d - k + 1) // 2)
+    def walk(k):
+        """Run the banded wavefront at half-width k until done or the band
+        minimum proves the distance exceeds k. Returns (banded result at
+        the final cell, final band minimum, macro-steps walked)."""
 
-    def fetch(ref, nrows, idx, limit, fill):
-        """Scalar ref[idx] via whole-row load + lane reduce (lane-aligned)."""
-        row = ref[pl.ds(jnp.minimum(idx // LANES, nrows - 1), 1), :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        v = jnp.sum(jnp.where(lane == idx % LANES, row, 0))
-        return jnp.where((idx >= 0) & (idx < limit), v, jnp.int32(fill))
+        def lo_of(d):
+            return jnp.maximum(0, (d - k + 1) // 2)
 
-    # entering d=2: lo(2)=0 (k >= 2), so band coords == flat coords
-    D2 = jnp.where(flat == 0, 0, ident)
-    D1 = jnp.where(flat <= 1, 1, ident)
-    Q0 = q0_ref[...]  # Q[u] = a[u + lo(d) - 1]
-    T0 = t0_ref[...]  # T[u] = b[d - 1 - (u + lo(d))]
+        def step(d, carry):
+            D1, D2, T, Q = carry
+            lo = lo_of(d)
+            d1 = lo - lo_of(d - 1)  # 0/1
+            d2 = lo - lo_of(d - 2)  # 0/1
+            # neighbors in band coords: D[d-1][i] = D1[u + d1],
+            # D[d-1][i-1] = D1[u + d1 - 1], D[d-2][i-1] = D2[u + d2 - 1]
+            D1u = _flat_shift_up(D1, interpret)
+            D1d = _flat_shift_down(D1, interpret)
+            D2d = _flat_shift_down(D2, interpret)
+            up_edge = flat == U - 1   # shift-up feeds junk here
+            dn_edge = flat == 0       # shift-down feeds junk here
+            nb_same = jnp.where(d1 == 0, D1, jnp.where(up_edge, ident, D1u))
+            nb_diag = jnp.where(d1 == 0, jnp.where(dn_edge, ident, D1d), D1)
+            nb_sub = jnp.where(d2 == 0, jnp.where(dn_edge, ident, D2d), D2)
+            sub = jnp.where(Q == T, 0, 1)
+            cand = jnp.minimum(jnp.minimum(nb_same, nb_diag) + 1,
+                               nb_sub + sub)
+            i = flat + lo
+            cand = jnp.where((i == 0) & (d <= n), d, cand)
+            cand = jnp.where((i == d) & (d <= m), d, cand)
+            j = d - i
+            valid = ((i <= jnp.minimum(d, m)) & (i >= jnp.maximum(d - n, 0))
+                     & (jnp.abs(i - j) <= k))
+            cand = jnp.where(valid, cand, ident)
+            # advance the streaming registers to d+1's coordinates. Exactly
+            # ONE new scalar enters the band per step — an `a` char when the
+            # band head advances (dn=1, feeds Q's tail u=U-1), else a `b`
+            # char (dn=0, feeds T's head u=0). One dynamic row load from the
+            # stacked a|b operand + a dynamic lane roll place it at the
+            # consuming position; the old per-step path paid TWO row loads
+            # and TWO ~7-op lane reduces on this serial chain.
+            lo1 = lo_of(d + 1)
+            is_a = (lo1 - lo) == 1  # dn
+            idx = jnp.where(is_a, lo1 - 2 + U, d - lo1)
+            limit = jnp.where(is_a, m, n)
+            fill = jnp.where(is_a, jnp.int32(-2), jnp.int32(-1))
+            rowi = jnp.clip(idx // LANES, 0, rows_full - 1) \
+                + jnp.where(is_a, 0, rows_full)
+            row = ab_ref[pl.ds(rowi, 1), :]
+            # roll so x[idx % LANES] lands at the consuming lane (127 for
+            # Q's tail, 0 for T's head); out[j] = x[(j - shift) % LANES]
+            target = jnp.where(is_a, jnp.int32(LANES - 1), jnp.int32(0))
+            shift = (target - idx) % LANES
+            row = (jnp.roll(row, shift, axis=1) if interpret
+                   else pltpu.roll(row, shift, axis=1))
+            v = jnp.where((idx >= 0) & (idx < limit), row, fill)
+            V = jnp.broadcast_to(v, shape)
+            # T'[u] = b[d-u-lo(d+1)]: dn=1 -> unchanged; dn=0 -> shift down
+            Ts = _flat_shift_down(T, interpret)
+            T = jnp.where(is_a, T, jnp.where(flat == 0, V, Ts))
+            # Q'[u] = a[u+lo(d+1)-1]: dn=0 -> unchanged; dn=1 -> shift up
+            Qs = _flat_shift_up(Q, interpret)
+            Q = jnp.where(is_a, jnp.where(flat == U - 1, V, Qs), Q)
+            return cand, D1, T, Q
 
-    def step(d, carry):
-        D1, D2, T, Q = carry
-        lo = lo_of(d)
-        d1 = lo - lo_of(d - 1)  # 0/1
-        d2 = lo - lo_of(d - 2)  # 0/1
-        # neighbors in band coords: D[d-1][i] = D1[u + d1],
-        # D[d-1][i-1] = D1[u + d1 - 1], D[d-2][i-1] = D2[u + d2 - 1]
-        D1u = _flat_shift_up(D1, interpret)
-        D1d = _flat_shift_down(D1, interpret)
-        D2d = _flat_shift_down(D2, interpret)
-        up_edge = flat == U - 1   # shift-up feeds junk here
-        dn_edge = flat == 0       # shift-down feeds junk here
-        nb_same = jnp.where(d1 == 0, D1, jnp.where(up_edge, ident, D1u))
-        nb_diag = jnp.where(d1 == 0, jnp.where(dn_edge, ident, D1d), D1)
-        nb_sub = jnp.where(d2 == 0, jnp.where(dn_edge, ident, D2d), D2)
-        sub = jnp.where(Q == T, 0, 1)
-        cand = jnp.minimum(jnp.minimum(nb_same, nb_diag) + 1, nb_sub + sub)
-        i = flat + lo
-        cand = jnp.where((i == 0) & (d <= n), d, cand)
-        cand = jnp.where((i == d) & (d <= m), d, cand)
-        j = d - i
-        valid = ((i <= jnp.minimum(d, m)) & (i >= jnp.maximum(d - n, 0))
-                 & (jnp.abs(i - j) <= k))
-        cand = jnp.where(valid, cand, ident)
-        # advance the streaming registers to d+1's coordinates
-        dn = lo_of(d + 1) - lo  # 0/1
-        # T'[u] = b[d - u - lo(d+1)]: dn=1 -> unchanged; dn=0 -> shift down,
-        # head u=0 takes b[d - lo(d+1)]
-        Ts = _flat_shift_down(T, interpret)
-        bh = fetch(b_ref, rows_full, d - lo_of(d + 1), n, -1)
-        T = jnp.where(dn == 1, T, jnp.where(flat == 0, bh, Ts))
-        # Q'[u] = a[u + lo(d+1) - 1]: dn=0 -> unchanged; dn=1 -> shift up,
-        # tail u=U-1 takes a[lo(d+1) - 2 + U]
-        Qs = _flat_shift_up(Q, interpret)
-        at = fetch(a_ref, rows_full, lo_of(d + 1) - 2 + U, m, -2)
-        Q = jnp.where(dn == 0, Q, jnp.where(flat == U - 1, at, Qs))
-        return cand, D1, T, Q
+        # manual 4x unroll (dynamic bounds forbid fori_loop's unroll=):
+        # each sub-step is gated so overshoot beyond d = m+n is a no-op
+        def step4(t, carry):
+            for j in range(4):
+                d = 2 + t * 4 + j
+                new = step(d, carry)
+                keep = d <= m + n
+                carry = tuple(jnp.where(keep, nv, ov)
+                              for nv, ov in zip(new, carry))
+            return carry
 
-    # manual 4x unroll (dynamic bounds forbid fori_loop's unroll=): each
-    # sub-step is gated so overshoot beyond d = m+n leaves the carry intact
-    def step4(t, carry):
-        for j in range(4):
-            d = 2 + t * 4 + j
-            new = step(d, carry)
-            keep = d <= m + n
-            carry = tuple(jnp.where(keep, nv, ov)
-                          for nv, ov in zip(new, carry))
-        return carry
+        def macro(t, carry):
+            for i in range(ce):
+                carry = step4(t * ce + i, carry)
+            return carry
 
-    D1, D2, T, Q = jax.lax.fori_loop(0, (m + n - 1 + 3) // 4, step4,
-                                     (D1, D2, T0, Q0))
-    # D[m+n][m] sits at band index m - lo(m+n)
-    u_fin = m - lo_of(m + n)
-    out_ref[0, 0] = jnp.sum(jnp.where(flat == u_fin, D1, 0))
+        # Early exit: every new frontier value is >= the min over the two
+        # previous frontiers (unit costs), so once min(D1, D2) exceeds k
+        # the final distance provably exceeds k. The reduce rides the
+        # while_loop condition, checked once per ce 4-step unrolls to stay
+        # off the serial chain.
+        def cond(carry):
+            t, D1, D2, T, Q, bmin = carry
+            return (t < tmac) & (bmin <= k)
+
+        def body(carry):
+            t, D1, D2, T, Q, bmin = carry
+            D1, D2, T, Q = macro(t, (D1, D2, T, Q))
+            return (t + 1, D1, D2, T, Q,
+                    jnp.minimum(jnp.min(D1), jnp.min(D2)))
+
+        # entering d=2: lo(2)=0 (k >= 2), so band coords == flat coords
+        D2 = jnp.where(flat == 0, 0, ident)
+        D1 = jnp.where(flat <= 1, 1, ident)
+        t, D1, D2, T, Q, bmin = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), D1, D2, t0_ref[...], q0_ref[...], jnp.int32(0)))
+        # D[m+n][m] sits at band index m - lo(m+n)
+        u_fin = m - lo_of(m + n)
+        res = jnp.sum(jnp.where(flat == u_fin, D1, 0))
+        return res, bmin, t
+
+    def pow2ceil_from(base, lo):
+        return jax.lax.while_loop(lambda p: p < lo, lambda p: p * 2, base)
+
+    def rung_cond(carry):
+        k, res, status = carry
+        return status == 0
+
+    def rung_body(carry):
+        k, _, _ = carry
+        res, bmin, t = walk(k)
+        aborted = bmin > k
+        ok = (~aborted) & (res <= k)
+        # abort -> abort-step estimate (+25% headroom); completed-but-over
+        # -> res is a true upper bound (restricting paths only over-counts)
+        est_abort = k * tmac // jnp.maximum(t, 1)
+        est = jnp.where(aborted, est_abort + est_abort // 4, res)
+        knext = jnp.minimum(pow2ceil_from(2 * k, jnp.minimum(est, kmax)),
+                            kmax)
+        status = jnp.where(ok, 1, jnp.where(k >= kmax, 2, 0))
+        return (jnp.where(status == 0, knext, k),
+                jnp.where(ok, res, jnp.int32(0)), status)
+
+    _, res_f, status_f = jax.lax.while_loop(
+        rung_cond, rung_body, (k0, jnp.int32(0), jnp.int32(0)))
+    out_ref[0, 0] = res_f
+    out_ref[0, 1] = status_f  # 1 = certified; 2 = distance > kmax
 
 
 @functools.lru_cache(maxsize=64)
-def _build_band(rows: int, rows_full: int, k: int, interpret: bool):
-    kernel = functools.partial(_band_kernel, rows, rows_full, k, interpret)
+def _build_band(rows: int, rows_full: int, interpret: bool,
+                check_every: int = 16):
+    kernel = functools.partial(_band_kernel, rows, rows_full, interpret,
+                               check_every)
     in_specs = [
-        pl.BlockSpec((rows_full, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows_full, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * rows_full, LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
 
     def wrapped(*args):
@@ -622,9 +700,9 @@ def _build_band(rows: int, rows_full: int, k: int, interpret: bool):
             lambda *refs: kernel(refs),
             grid=(1,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                    memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
             interpret=interpret,
         )(*args)
 
@@ -634,11 +712,13 @@ def _build_band(rows: int, rows_full: int, k: int, interpret: bool):
 def levenshtein_long_pair(a: np.ndarray, b: np.ndarray,
                           k0: int = 64) -> int:
     """Exact Levenshtein distance of ONE long pair via Ukkonen band
-    doubling over the anti-diagonal wavefront: run the banded kernel at
-    half-width k; if the result is <= k it is exact (paths outside the
-    band cost > k), else double k. Near-duplicate pairs finish in
-    O((m+n) * d) cell work instead of O((m+n) * min(m,n)). Falls back to
-    the flat full-band kernel once the band stops saving tile rows."""
+    doubling over the anti-diagonal wavefront. The WHOLE doubling ladder
+    runs inside one kernel launch (runtime-k rungs over a tile sized for
+    kmax): each rung aborts as soon as the band minimum proves d > k, the
+    abort step prices the jump to the certifying rung, and only one device
+    round-trip is paid. Near-duplicate pairs finish in O((m+n) * d) cell
+    work instead of O((m+n) * min(m,n)). Falls back to the flat full-band
+    kernel when the band cannot save tile rows or d > kmax."""
     a = np.asarray(a).astype(np.int32)
     b = np.asarray(b).astype(np.int32)
     m, n = len(a), len(b)
@@ -648,36 +728,39 @@ def levenshtein_long_pair(a: np.ndarray, b: np.ndarray,
     rows_flat = -(-max(-(-flat_cells // LANES), 8) // 8) * 8
     rows_full = max(-(-max(m, n) // LANES), 1)
 
-    def pack_full(x):
-        buf = np.full(rows_full * LANES, -2, dtype=np.int32)
-        buf[: len(x)] = x
-        return jnp.asarray(buf.reshape(rows_full, LANES))
-
-    a2, b2 = pack_full(a), pack_full(b)
-    mn = jnp.asarray(np.array([[m, n]], dtype=np.int32))
-
     k = max(k0, 2)
     while k < abs(m - n):  # the band must contain the final cell
         k *= 2
-    while True:
-        rows = -(-max(-(-(2 * k + 2) // LANES), 8) // 8) * 8
-        if rows >= rows_flat:
-            return wavefront_score(a, b)
-        U = rows * LANES
-        # streaming registers entering d=2 (lo(2)=0): Q[u]=a[u-1], T per flat
-        q0 = np.full(U, -2, dtype=np.int32)
-        q0[1:] = np.pad(a, (0, max(0, U - 1 - m)), constant_values=-2)[: U - 1]
-        t0 = np.full(U, -1, dtype=np.int32)
-        t0[0] = b[1] if n > 1 else -1
-        t0[1] = b[0]
-        call = _build_band(rows, rows_full, k, platform.pallas_interpret())
-        res = int(call(a2, b2,
-                       jnp.asarray(q0.reshape(rows, LANES)),
-                       jnp.asarray(t0.reshape(rows, LANES)), mn)[0, 0])
-        if res <= k:
-            return res
-        # a banded result only over-counts (restricting paths cannot help),
-        # so `res` upper-bounds the true distance: jump the ladder straight
-        # to the rung that will certify it instead of doubling through every
-        # intermediate k (worst case one extra run, usual case exactly two).
-        k = max(2 * k, 1 << int(np.ceil(np.log2(max(res, 2)))))
+    # Fixed tile for every rung: per-step cost is latency-bound and nearly
+    # rows-independent up to ~32 sublane rows, so size the tile for the
+    # largest useful band instead of per-rung (measured in BENCH_NOTES).
+    rows = min(32, ((rows_flat - 8) // 8) * 8)
+    if rows < 8:
+        return wavefront_score(a, b)
+    U = rows * LANES
+    kmax = (U - 2) // 2
+    if k > kmax:
+        return wavefront_score(a, b)
+    ab2 = jnp.asarray(np.concatenate(
+        [_pack_operand(a, rows_full), _pack_operand(b, rows_full)], axis=0))
+    # streaming registers entering d=2 (lo(2)=0): Q[u]=a[u-1], T per flat
+    q0 = np.full(U, -2, dtype=np.int32)
+    q0[1:] = np.pad(a, (0, max(0, U - 1 - m)), constant_values=-2)[: U - 1]
+    t0 = np.full(U, -1, dtype=np.int32)
+    t0[0] = b[1] if n > 1 else -1
+    t0[1] = b[0]
+    mn = jnp.asarray(np.array([[m, n, k, kmax]], dtype=np.int32))
+    call = _build_band(rows, rows_full, platform.pallas_interpret())
+    out = np.asarray(call(ab2,
+                          jnp.asarray(q0.reshape(rows, LANES)),
+                          jnp.asarray(t0.reshape(rows, LANES)), mn))
+    res, status = int(out[0, 0]), int(out[0, 1])
+    if status == 1:
+        return res
+    return wavefront_score(a, b)  # d > kmax: banding cannot help
+
+
+def _pack_operand(x: np.ndarray, rows_full: int) -> np.ndarray:
+    buf = np.full(rows_full * LANES, -2, dtype=np.int32)
+    buf[: len(x)] = x
+    return buf.reshape(rows_full, LANES)
